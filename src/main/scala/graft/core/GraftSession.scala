@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // The driver fixtures write events.ts as parquet TIMESTAMP(NANOS),
+      // which vanilla Spark 4.x rejects (PARQUET_TYPE_ILLEGAL). Read the
+      // raw int64 nanos and convert in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 
