@@ -1,0 +1,529 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** Relational query surface: aggregations, joins, windows, sorts, set ops
+  * (SURVEY.md §2B). Each query has a DuckDB oracle twin in [[Relational.oracle]]
+  * with identical column names and value canonicalization.
+  *
+  * Determinism rules shared with the oracle SQL:
+  *  - Whole-table double sums go through DECIMAL(18,4) so accumulation
+  *    order (Spark partial aggregation vs DuckDB sequential) can't shift
+  *    low bits: measured divergence is ~1e-4 absolute at sf0.1, the same
+  *    magnitude as a 4-decimal rounding step.
+  *  - Per-row arithmetic and small windowed aggregates stay double and
+  *    are rounded to a granularity far above their ~1e-12 divergence.
+  *  - Every top-k / limit query orders by a key-complete, unique sort.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact money arithmetic: decimal in, double out (see class doc). */
+  private def d18(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def d8(c: Column): Column = c.cast(DecimalType(8, 4))
+  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
+
+  // ---------------------------------------------------------------- aggs
+
+  /** TPC-H Q1-shape pricing summary (SURVEY §2B Aggregation). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(d18(col("l_quantity"))).as("sum_qty"),
+        dsum(d18(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount"))
+          * d8(lit(1) + col("l_tax"))).as("sum_charge"),
+        round(dsum(d18(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(d18(col("l_extendedprice"))) / count(lit(1)), 4).as("avg_price"),
+        round(dsum(d18(col("l_discount"))) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Exact distinct-count aggregation. */
+  def aggCountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** approx_count_distinct (HLL) checked by bounds: the query itself
+    * asserts the sketch lands within 5% of exact, so the oracle row is a
+    * constant `true` next to the exact count. */
+  def aggApproxCd(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      .select(
+        col("l_returnflag"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("approx_ok"))
+
+  /** GROUP BY ... HAVING on a per-supplier volume threshold. */
+  def aggHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(dsum(d18(col("l_quantity"))).as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > 14000)
+
+  /** ROLLUP over the region→nation customer hierarchy. Expressed via
+    * spark.sql: Dataset.rollup after a join trips Spark 4.1's
+    * ambiguous-self-join analyzer check even with fresh attributes
+    * (the SQL analyzer path resolves the same plan fine). The dims are
+    * far below autoBroadcastJoinThreshold, so both joins still plan as
+    * BroadcastHashJoin. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_rollup_customer")
+    t(s, dir, "nation").createOrReplaceTempView("graft_rollup_nation")
+    t(s, dir, "region").createOrReplaceTempView("graft_rollup_region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM graft_rollup_customer
+        |JOIN graft_rollup_nation ON c_nationkey = n_nationkey
+        |JOIN graft_rollup_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** CUBE over order status × priority. */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(d18(col("o_totalprice"))).as("sum_price"))
+
+  /** GROUPING SETS ((flag), (status), ()). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(d18(col("l_quantity"))).as("sum_qty"))
+
+  // --------------------------------------------------------------- joins
+
+  /** Five-table star join, dims broadcast: revenue per region. */
+  def joinInnerStar(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        dsum(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left join keeping order-less customers (zero counts, 0.0 spend). */
+  def joinLeftAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(d18(col("o_totalprice"))), lit(0.0)).as("total_spent"))
+  }
+
+  /** Right join keeping never-ordered parts. */
+  def joinRightAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(p, li("l_partkey") === p("p_partkey"), "right")
+      .groupBy("p_partkey", "p_brand")
+      .agg(count(col("l_orderkey")).as("n_li"))
+  }
+
+  /** Full outer join of two per-nation aggregates. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, c("ck") === sup("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("n_customers"), col("n_suppliers"))
+  }
+
+  /** Left-semi: customers having at least one open order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Left-anti: customers with no orders at all. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+  }
+
+  /** Non-equi range join: same-user event pairs within a 10-minute
+    * window. Equi on user_id keeps the join hash-partitionable (the range
+    * predicate is a post-join filter), so the plan survives scale-up —
+    * never a cartesian product. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_type").as("type_a"))
+    val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_type").as("type_b"))
+    a.join(b, col("a_user") === col("b_user")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** As-of join: for each error event, the most recent signup of the
+    * same user at-or-before it. Implemented with the scalable
+    * union-and-carry-forward formulation (one shuffle by user, no join
+    * blowup) — see [[graft.operators.AsOf]]. Oracle: DuckDB ASOF JOIN. */
+  def joinAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOf.leftAsOf(
+        errors, signups, Seq("user_id"), "ts", "ts", "signup_ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_at"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_at"))
+  }
+
+  // ------------------------------------------------------------- windows
+
+  /** Top-3 orders by price per priority class (row_number top-k). */
+  def winTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+  }
+
+  /** lag/lead: per-user event-over-event value delta (the reference's
+    * `Change` column recomputed from `Price`, reference dump_bigq.py:124-127,
+    * generalized to the events table). event_id is the per-user sequence
+    * (monotone in ts), so ordering by it sidesteps the ns-vs-us timestamp
+    * precision gap between Spark and the oracle. */
+  def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+      round(lead(col("value"), 1).over(w) - col("value"), 4).as("delta_next"))
+  }
+
+  /** 7-row moving average of order value per customer. */
+  def winMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, 0)
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(avg(col("o_totalprice")).over(w), 4).as("ma7"))
+  }
+
+  /** first/last value per supplier over its full shipping history. */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "lineitem").select(
+        col("l_suppkey"),
+        first(col("l_extendedprice")).over(w).as("first_price"),
+        last(col("l_extendedprice")).over(w).as("last_price"))
+      .distinct()
+  }
+
+  /** Cumulative per-supplier shipped quantity. */
+  def winCumSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      round(sum(col("l_quantity")).over(w), 4).as("cum_qty"))
+  }
+
+  /** rank/dense_rank with ties: top-10 account balances per segment. */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    t(s, dir, "customer")
+      .withColumn("rnk", rank().over(ord).cast("long"))
+      .withColumn("drnk", dense_rank().over(ord).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("c_mktsegment", "rnk", "drnk", "c_custkey", "c_acctbal")
+  }
+
+  /** ntile quartiles of order value per priority. */
+  def winNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), ntile(4).over(w).cast("long").as("quartile"),
+        col("o_orderkey"))
+  }
+
+  // --------------------------------------------------------- sort / limit
+
+  /** Global top-100 orders by price (unique tiebreak for determinism). */
+  def sortTopN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_date"))
+
+  /** sortWithinPartitions: partition-local sort (no global shuffle); the
+    * result *set* is the projection — order is a physical property. */
+  def sortWithinParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .repartition(col("l_suppkey"))
+      .sortWithinPartitions(col("l_suppkey"), col("l_shipdate"))
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+
+  // -------------------------------------------------------------- set ops
+
+  private def sliceHighValue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+  private def sliceUrgent(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+  /** UNION ALL of two overlapping slices (duplicates preserved). */
+  def setopUnionAll(s: SparkSession, dir: String): DataFrame =
+    sliceHighValue(s, dir).unionByName(sliceUrgent(s, dir))
+
+  /** UNION DISTINCT of the same slices. */
+  def setopUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    sliceHighValue(s, dir).unionByName(sliceUrgent(s, dir)).distinct()
+
+  /** INTERSECT: high-value AND urgent. */
+  def setopIntersect(s: SparkSession, dir: String): DataFrame =
+    sliceHighValue(s, dir).intersect(sliceUrgent(s, dir))
+
+  /** EXCEPT: high-value but not urgent. */
+  def setopExcept(s: SparkSession, dir: String): DataFrame =
+    sliceHighValue(s, dir).except(sliceUrgent(s, dir))
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_approx_cd" -> (aggApproxCd _),
+    "agg_having" -> (aggHaving _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "join_inner_star" -> (joinInnerStar _),
+    "join_left_agg" -> (joinLeftAgg _),
+    "join_right_agg" -> (joinRightAgg _),
+    "join_full" -> (joinFull _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_range" -> (joinRange _),
+    "join_asof" -> (joinAsOf _),
+    "win_topk_per_group" -> (winTopkPerGroup _),
+    "win_lag_lead" -> (winLagLead _),
+    "win_moving_avg" -> (winMovingAvg _),
+    "win_first_last" -> (winFirstLast _),
+    "win_cumsum" -> (winCumSum _),
+    "win_rank" -> (winRank _),
+    "win_ntile" -> (winNtile _),
+    "sort_topn" -> (sortTopN _),
+    "sort_within_parts" -> (sortWithinParts _),
+    "setop_union_all" -> (setopUnionAll _),
+    "setop_union_distinct" -> (setopUnionDistinct _),
+    "setop_intersect" -> (setopIntersect _),
+    "setop_except" -> (setopExcept _))
+
+  // DuckDB oracle twins. Column names and value canonicalization match
+  // the Spark side exactly (decimal-exact sums, round(…,4), string-
+  // formatted timestamps).
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+  private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+  private val sumDisc =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)"
+  private val sumCharge =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  $sumPrice AS sum_base_price,
+         |  $sumDisc AS sum_disc_price,
+         |  $sumCharge AS sum_charge,
+         |  ROUND($sumQty / COUNT(*), 4) AS avg_qty,
+         |  ROUND($sumPrice / COUNT(*), 4) AS avg_price,
+         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_approx_cd" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_having" ->
+      s"""SELECT l_suppkey, $sumQty AS total_qty, COUNT(*) AS n_items
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING $sumQty > 14000""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, $sumQty AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "join_inner_star" ->
+      s"""SELECT r_name, $sumDisc AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin,
+    "join_left_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "join_right_agg" ->
+      """SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_li
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_brand""".stripMargin,
+    "join_full" ->
+      """WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+        |SELECT COALESCE(ck, sk) AS nationkey, n_customers, n_suppliers
+        |FROM c FULL OUTER JOIN s ON ck = sk""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_range" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
+    "join_asof" ->
+      """WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events WHERE event_type = 'error'),
+        |     sig AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events WHERE event_type = 'signup')
+        |SELECT err.event_id, err.user_id,
+        |  strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS error_at,
+        |  strftime(sig.ts, '%Y-%m-%d %H:%M:%S') AS signup_at
+        |FROM err ASOF LEFT JOIN sig
+        |  ON err.user_id = sig.user_id AND err.ts >= sig.ts""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  ROUND(value - LAG(value, 1) OVER w, 4) AS delta_prev,
+        |  ROUND(LEAD(value, 1) OVER w - value, 4) AS delta_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM orders""".stripMargin,
+    "win_first_last" ->
+      """SELECT DISTINCT l_suppkey,
+        |  FIRST_VALUE(l_extendedprice) OVER w AS first_price,
+        |  LAST_VALUE(l_extendedprice) OVER w AS last_price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "win_cumsum" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING), 4) AS cum_qty
+        |FROM lineitem""".stripMargin,
+    "win_rank" ->
+      """SELECT c_mktsegment, rnk, drnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+        |  FROM customer) WHERE rnk <= 10""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderpriority,
+        |  NTILE(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  o_orderkey
+        |FROM orders""".stripMargin,
+    "sort_topn" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "sort_within_parts" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity FROM lineitem",
+    "setop_union_all" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "setop_union_distinct" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000
+        |UNION
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "setop_intersect" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "setop_except" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 200000
+        |EXCEPT
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle SQL against DuckDB views over the fixture parquet, canonicalizes
+both sides (sort columns by name, round doubles, stringify timestamps,
+sort rows) and reports per-query PASS/FAIL. Dev tool only — the engine
+itself never depends on DuckDB or Python.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt in ("float64", "float32", "float16"):
+            df[c] = df[c].astype("float64").round(6)
+        elif "datetime" in dt:
+            df[c] = df[c].astype("string")
+        elif dt == "object":
+            df[c] = df[c].apply(
+                lambda v: str(sorted(v)) if isinstance(v, (list, set))
+                else str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="first") \
+             .reset_index(drop=True)
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sfdir}/{t}.parquet')")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output written")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+            ).df()
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        g, e = canon(got.copy()), canon(exp.copy())
+        problems = []
+        if sorted(got.columns) != sorted(exp.columns):
+            problems.append(
+                f"schema: spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+        elif len(g) != len(e):
+            problems.append(f"rows: spark={len(g)} oracle={len(e)}")
+        elif not g.equals(e):
+            diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
+            mask = pd.Series(False, index=g.index)
+            for c in diff_cols:
+                mask |= ~((g[c] == e[c]) | (g[c].isna() & e[c].isna()))
+            ex = pd.concat(
+                [g[mask].head(3).add_prefix("spark_"),
+                 e[mask].head(3).add_prefix("oracle_")], axis=1)
+            problems.append(
+                f"values differ in {diff_cols} ({int(mask.sum())} rows), e.g.\n{ex}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    missing = [q for q in set(
+        p.split('/')[-1] for p in glob.glob(f"{outdir}/*") if '.' not in p.split('/')[-1])
+        if q not in oracle]
+    if missing:
+        print(f"NOTE rows-only (no oracle sql): {sorted(missing)}")
+    print(f"== {n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
