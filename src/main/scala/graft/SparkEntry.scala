@@ -16,11 +16,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.etl.StockEtl.queries ++
+      graft.udf.Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.Scalars.oracle
+      graft.queries.Scalars.oracle ++
+      graft.etl.StockEtl.oracle ++
+      graft.udf.Udfs.oracle
 }

@@ -1,0 +1,106 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanFns
+
+/** The reference's end-to-end ETL re-expressed Spark-first:
+  * CSV scan (K2) → drift normalization (T5) → typed cleaning (T1–T4,
+  * T6) → full-refresh overwrite sink (L1/L2) → read-back verification
+  * (reference `dump_bigq.py:91-149`, `stock_data_scraper.py:310-333`).
+  *
+  * One lazy plan, no driver-side loops: at 100 TB the clean is a
+  * narrow (shuffle-free) projection pipeline that parallelizes by
+  * input split, and the sink is a partitioned parquet overwrite.
+  */
+object StockEtl {
+
+  /** Canonical warehouse schema order (reference `dump_bigq.py:47-56`). */
+  val canonicalColumns: Seq[String] =
+    Seq("stock_name", "Date", "Price", "Open", "High", "Low", "Vol", "Change")
+
+  /** K2: raw scan — header on, everything a string (raw layer; typing
+    * happens in [[clean]], like the reference's pandas object dtype). */
+  def readRawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** T5 + T1–T4 + T6: canonicalize drifted column names, then type
+    * every column with the pinned null-production rules. */
+  def clean(raw: DataFrame): DataFrame = {
+    val n = CleanFns.normalizeColumns(raw, CleanFns.stockDriftMap)
+    n.select(
+      col("stock_name"),
+      CleanFns.parseDate(col("Date")).as("Date"),
+      CleanFns.parseCommaNumber(col("Price")).as("Price"),
+      CleanFns.parseCommaNumber(col("Open")).as("Open"),
+      CleanFns.parseCommaNumber(col("High")).as("High"),
+      CleanFns.parseCommaNumber(col("Low")).as("Low"),
+      CleanFns.parseMagnitude(col("Vol")).as("Vol"),
+      CleanFns.parsePercent(col("Change")).as("Change"))
+  }
+
+  /** L1/L2: full-refresh overwrite (the reference's WRITE_TRUNCATE),
+    * returning the post-load row count (its `num_rows` verification). */
+  def overwriteTable(df: DataFrame, path: String): Long = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** O1: the whole pipeline; returns the loaded table for inspection. */
+  def runPipeline(spark: SparkSession, csvPath: String, tablePath: String): DataFrame = {
+    val cleaned = clean(readRawCsv(spark, csvPath))
+    overwriteTable(cleaned, tablePath)
+    spark.read.parquet(tablePath)
+  }
+
+  private val goldenCsv = "/root/reference/stock_data.csv"
+
+  private def lowercased(df: DataFrame): DataFrame =
+    df.select(
+      col("stock_name"), col("Date").as("date"), col("Price").as("price"),
+      col("Open").as("open"), col("High").as("high"), col("Low").as("low"),
+      col("Vol").as("vol"), col("Change").as("change"))
+
+  /** Clean of the golden CSV (no sink), lowercase column aliases for the
+    * case-sensitive oracle compare. */
+  def etlStockClean(s: SparkSession, dir: String): DataFrame =
+    lowercased(clean(readRawCsv(s, goldenCsv)))
+
+  /** Full E2E including the overwrite sink and read-back. */
+  def etlStockPipeline(s: SparkSession, dir: String): DataFrame = {
+    val target = sys.props("java.io.tmpdir") + "/graft_stock_table"
+    lowercased(runPipeline(s, goldenCsv, target))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_stock_clean" -> (etlStockClean _),
+    "etl_stock_pipeline" -> (etlStockPipeline _))
+
+  // The oracle re-runs the cleaning rules in DuckDB over the same CSV.
+  private def nullish(c: String) = s"lower(trim($c)) IN ('', 'nan')"
+  private val etlSql =
+    s"""WITH raw AS (SELECT * FROM read_csv('$goldenCsv', header=true, all_varchar=true))
+       |SELECT stock_name,
+       |  CAST(try_strptime(trim("Date"), '%b %d, %Y') AS DATE) AS date,
+       |  CASE WHEN ${nullish("\"Price\"")} THEN NULL
+       |       ELSE TRY_CAST(replace(trim("Price"), ',', '') AS DOUBLE) END AS price,
+       |  CASE WHEN ${nullish("\"Open\"")} THEN NULL
+       |       ELSE TRY_CAST(replace(trim("Open"), ',', '') AS DOUBLE) END AS open,
+       |  CASE WHEN ${nullish("\"High\"")} THEN NULL
+       |       ELSE TRY_CAST(replace(trim("High"), ',', '') AS DOUBLE) END AS high,
+       |  CASE WHEN ${nullish("\"Low\"")} THEN NULL
+       |       ELSE TRY_CAST(replace(trim("Low"), ',', '') AS DOUBLE) END AS low,
+       |  CASE WHEN ${nullish("\"Vol.\"")} THEN NULL
+       |       WHEN trim("Vol.") LIKE '%K' THEN TRY_CAST(substr(trim("Vol."), 1, length(trim("Vol.")) - 1) AS DOUBLE) * 1e3
+       |       WHEN trim("Vol.") LIKE '%M' THEN TRY_CAST(substr(trim("Vol."), 1, length(trim("Vol.")) - 1) AS DOUBLE) * 1e6
+       |       WHEN trim("Vol.") LIKE '%B' THEN TRY_CAST(substr(trim("Vol."), 1, length(trim("Vol.")) - 1) AS DOUBLE) * 1e9
+       |       ELSE TRY_CAST(replace(trim("Vol."), ',', '') AS DOUBLE) END AS vol,
+       |  CASE WHEN ${nullish("\"Change %\"")} THEN NULL
+       |       ELSE TRY_CAST(rtrim(trim("Change %"), '%') AS DOUBLE) END AS change
+       |FROM raw""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "etl_stock_clean" -> etlSql,
+    "etl_stock_pipeline" -> etlSql)
+}

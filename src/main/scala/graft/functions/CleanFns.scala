@@ -34,22 +34,33 @@ object CleanFns {
 
   /** T3: magnitude-suffixed volume: `763.44M` -> 7.6344e8, `K` -> 1e3,
     * `B` -> 1e9, plain (with commas) -> double, else null.
-    * (reference `dump_bigq.py:70-86`) */
+    * (reference `dump_bigq.py:70-86`)
+    *
+    * Parity notes, pinned by CleanFnsSpec:
+    *  - commas are stripped ONLY in the no-suffix branch, exactly like
+    *    the reference (`float(x[:-1])` on the suffix path raises on
+    *    `"1,234K"` -> None; here the failed cast -> null, and
+    *    null * 1e3 stays null);
+    *  - `nullish` lowercases, so `'NaN'` -> null, whereas the reference's
+    *    case-sensitive check lets `float('NaN')` produce a NaN *value*.
+    *    Deliberate normalization — NaN poisons equality joins and the
+    *    oracle compare; mirrored in the oracle SQL. */
   def parseMagnitude(c: Column): Column = {
     val t = trim(c)
-    val base = regexp_replace(regexp_replace(t, ",", ""), "[KMB]$", "").cast(DoubleType)
+    val beforeSuffix = t.substr(lit(1), length(t) - 1).cast(DoubleType)
     when(nullish(c), lit(null).cast(DoubleType))
-      .when(t.endsWith("K"), base * 1e3)
-      .when(t.endsWith("M"), base * 1e6)
-      .when(t.endsWith("B"), base * 1e9)
+      .when(t.endsWith("K"), beforeSuffix * 1e3)
+      .when(t.endsWith("M"), beforeSuffix * 1e6)
+      .when(t.endsWith("B"), beforeSuffix * 1e9)
       .otherwise(regexp_replace(t, ",", "").cast(DoubleType))
   }
 
-  /** T4: `'+0.52%'` -> 0.52, `'-0.99%'` -> -0.99.
+  /** T4: `'+0.52%'` -> 0.52, `'-0.99%'` -> -0.99. All trailing `%`
+    * stripped, like the reference's `rstrip('%')`.
     * (reference `dump_bigq.py:124-127`) */
   def parsePercent(c: Column): Column =
     when(nullish(c), lit(null).cast(DoubleType))
-      .otherwise(regexp_replace(trim(c), "%$", "").cast(DoubleType))
+      .otherwise(regexp_replace(trim(c), "%+$", "").cast(DoubleType))
 
   /** T5: schema-drift canonicalization — rename the first present
     * variant to the canonical name. (reference `dump_bigq.py:114-127`) */
