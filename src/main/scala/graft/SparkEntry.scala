@@ -18,7 +18,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
-      graft.udf.Udfs.queries
+      graft.udf.Udfs.queries ++
+      graft.queries.LlmText.queries ++
+      graft.queries.LlmVectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +28,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
-      graft.udf.Udfs.oracle
+      graft.udf.Udfs.oracle ++
+      graft.queries.LlmText.oracle ++
+      graft.queries.LlmVectors.oracle
 }

@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** LLM-training-data text operators over `documents` (builder-brief
+  * first-class surface): exact dedup, MinHash+LSH banded near-dedup,
+  * n-gram Jaccard, SimHash, token stats, quality scoring, language-ID
+  * heuristic, fingerprinting.
+  *
+  * Scale design: every near-dup path is *blocked* (LSH band buckets or
+  * a natural blocking key) and joins on (block, feature) — never an
+  * all-pairs cross join — so candidate generation stays linear-ish in
+  * corpus size at 100 TB. Hashing uses md5 so the DuckDB oracle can
+  * reproduce signatures bit-for-bit.
+  */
+object LlmText {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles (empty when the doc has <3 tokens). */
+  private def shingles(tokens: Column): Column =
+    when(size(tokens) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ", get(tokens, i), get(tokens, i + 1), get(tokens, i + 2))))
+
+  /** doc_id + exploded DISTINCT shingle per row. */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(shingles(toks(col("text")))).as("sh"))
+      .distinct()
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup: md5 of whitespace-collapsed lowercase text; keeper is
+    * the smallest doc_id. One hash-partitioned aggregation — the 100 TB
+    * plan is a single shuffle on the hash. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("norm_md5"))
+      .groupBy("norm_md5")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  private val NBands = 8
+
+  /** Per-(doc, band) MinHash signature: lexicographic min of
+    * md5(band || ':' || shingle). Deterministic, oracle-reproducible. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    shingleTable(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(NBands - 1))).as("band"), col("sh"))
+      .groupBy("doc_id", "band")
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh"))))
+        .as("sig"))
+
+  /** Banded-LSH near-dedup: candidates share a (band, signature) bucket;
+    * candidates are then verified with exact shingle Jaccard >= 0.5.
+    * The bucket join replaces the quadratic all-pairs scan. */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(s, dir, cands)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact shingle-Jaccard near-dup with a natural blocking key (same
+    * source) instead of LSH — the deterministic baseline the MinHash
+    * path is measured against. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir)
+    val cands = sh.as("a")
+      .join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(s, dir, cands)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Attach exact shingle Jaccard to (doc_a, doc_b) candidate pairs. */
+  private def withJaccard(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
+    val sh = shingleTable(s, dir).select("doc_id", "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter") / (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** 32-bit tf-weighted SimHash from md5 bits: per (doc, bit) majority
+    * vote over token occurrences, assembled with shifts. Two narrow
+    * aggregations — no per-doc state beyond 32 counters. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tokenHash = docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val bitVotes = tokenHash
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (expr("(instr('0123456789abcdef', substr(h, pos div 4 + 1, 1)) - 1)")
+          .cast("int").as("hexval")))
+      .select(col("doc_id"), col("pos"),
+        (expr("shiftright(hexval, 3 - pos % 4) % 2") * 2 - 1).as("vote"))
+      .groupBy("doc_id", "pos")
+      .agg(sum(col("vote")).as("votes"))
+    bitVotes
+      .groupBy("doc_id")
+      .agg(sum(when(col("votes") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  // -------------------------------------------------------- text stats
+
+  /** Token counting: whitespace tokens, distinct tokens, alpha-run
+    * tokens (BPE-ish regex), chars, average token length. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+        .as("n_alpha_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      round((length(col("text")) - size(toks(col("text"))) + 1)
+        / size(toks(col("text"))).cast("double"), 4).as("avg_token_len"))
+
+  /** Quality scoring: length saturation + type-token ratio + punctuation
+    * share, combined into one [0,1] score. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)) / nTok
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+      .cast("double") / length(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      round(ttr, 4).as("ttr"),
+      round(punct, 4).as("punct_ratio"),
+      round(least(lit(1.0), nTok / 50.0) * 0.5 + ttr * 0.5 - punct * 0.25, 4)
+        .as("quality"))
+  }
+
+  private val enMarkers = Seq("the", "a", "of", "and", "data", "table",
+    "row", "join", "order", "filter", "group", "fast", "slow")
+  private val esMarkers = Seq("el", "la", "de", "los", "las", "datos", "y")
+  private val deMarkers = Seq("der", "die", "und", "das", "daten", "ein")
+
+  private def hits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers: _*))).cast("long")
+
+  /** Language-ID heuristic: stopword-marker voting with a deterministic
+    * argmax (en >= es >= de order) and 'und' when nothing matches. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val en = hits(t, enMarkers); val es = hits(t, esMarkers)
+    val de = hits(t, deMarkers)
+    docs(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+      when(en + es + de === 0, "und")
+        .when(en >= es && en >= de, "en")
+        .when(es >= de, "es")
+        .otherwise("de").as("pred_lang"))
+  }
+
+  /** Fingerprints: content hash over the sorted distinct token set plus
+    * a winnowing-style min-shingle-hash. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(t)))).as("content_md5"),
+      array_min(transform(shingles(t), sh => md5(sh))).as("min_shingle_md5"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_exact_dedup" -> (exactDedup _),
+    "llm_minhash_sigs" -> (minhashSignatures _),
+    "llm_minhash_neardup" -> (minhashNearDup _),
+    "llm_ngram_jaccard" -> (ngramJaccard _),
+    "llm_simhash" -> (simhash _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  // Shared oracle CTE fragments (DuckDB dialect).
+  private val shingleCte =
+    """d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         unnest(list_transform(range(greatest(len(t) - 2, 0)),
+      |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      |       FROM d)""".stripMargin
+
+  private val jaccardTail =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |          FROM cands c
+      |          JOIN sh sa ON sa.doc_id = c.doc_a
+      |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      |          GROUP BY c.doc_a, c.doc_b)
+      |SELECT doc_a, doc_b,
+      |  ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes za ON za.doc_id = doc_a
+      |JOIN sizes zb ON zb.doc_id = doc_b
+      |WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5,
+        |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "llm_minhash_sigs" ->
+      s"""WITH $shingleCte,
+         |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh)
+         |SELECT doc_id, CAST(band AS INT) AS band,
+         |  MIN(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+         |FROM bands GROUP BY doc_id, band""".stripMargin,
+    "llm_minhash_neardup" ->
+      s"""WITH $shingleCte,
+         |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
+         |sigs AS (SELECT doc_id, band,
+         |           MIN(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+         |         FROM bands GROUP BY doc_id, band),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM sigs a JOIN sigs b
+         |            ON a.band = b.band AND a.sig = b.sig
+         |           AND a.doc_id < b.doc_id),
+         |$jaccardTail""".stripMargin,
+    "llm_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM sh a JOIN sh b
+         |            ON a.source = b.source AND a.sh = b.sh
+         |           AND a.doc_id < b.doc_id),
+         |$jaccardTail""".stripMargin,
+    "llm_simhash" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        |             FROM documents),
+        |bits AS (SELECT doc_id, unnest(range(32)) AS pos, h FROM tok),
+        |votes AS (SELECT doc_id, pos,
+        |  SUM((((instr('0123456789abcdef', substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+        |        >> (3 - CAST(pos % 4 AS INT))) & 1) * 2 - 1) AS votes
+        |  FROM bits GROUP BY doc_id, pos)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN votes > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
+        |           ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+        |  length(text) AS n_chars,
+        |  ROUND((length(text) - len(string_split(text, ' ')) + 1)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  ROUND(len(list_distinct(string_split(text, ' ')))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
+        |  ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+        |  ROUND(least(1.0, len(string_split(text, ' ')) / 50.0) * 0.5
+        |        + (len(list_distinct(string_split(text, ' ')))
+        |           / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |        - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |           / CAST(length(text) AS DOUBLE)) * 0.25, 4) AS quality
+        |FROM documents""".stripMargin,
+    "text_langid" -> {
+      def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(t, x -> x IN (${inList(enMarkers)}))) AS en_hits,
+         |  len(list_filter(t, x -> x IN (${inList(esMarkers)}))) AS es_hits,
+         |  len(list_filter(t, x -> x IN (${inList(deMarkers)}))) AS de_hits
+         |  FROM d)
+         |SELECT doc_id, lang AS labeled_lang, en_hits, es_hits, de_hits,
+         |  CASE WHEN en_hits + es_hits + de_hits = 0 THEN 'und'
+         |       WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN es_hits >= de_hits THEN 'es'
+         |       ELSE 'de' END AS pred_lang
+         |FROM h""".stripMargin
+    },
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS content_md5,
+        |  list_min(list_transform(
+        |    list_transform(range(greatest(len(t) - 2, 0)),
+        |                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+        |    sh -> md5(sh))) AS min_shingle_md5
+        |FROM d""".stripMargin)
+}

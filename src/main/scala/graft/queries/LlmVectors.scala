@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.plans.GraftFunctions
+
+/** Similarity search over the `embeddings` table using the native
+  * codegen'd [[graft.plans.CosineSimilarity]] expression.
+  *
+  * Scale shapes:
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    corpus — the right baseline when queries ≪ corpus;
+  *  - the LSH variant buckets by sign bits (axis-aligned random
+  *    hyperplanes) so candidate generation is an equi-join on the
+  *    bucket id — the shape that survives a corpus 1000× larger, at
+  *    the cost of recall (deterministic here, so oracle-checkable);
+  *  - near-dup pairing joins within buckets only, never all-pairs.
+  */
+object LlmVectors {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def cos(a: Column, b: Column): Column =
+    GraftFunctions.cosineSim(a, b)
+
+  /** Sign-bit LSH bucket from the first 4 dimensions (16 buckets). */
+  private def bucket(v: Column): Column =
+    (0 until 4).map(j =>
+      when(get(v, lit(j)) > 0f, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_raw").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cos(col("q_emb"), col("embedding")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** LSH-bucketed approximate top-3: candidates share the query's sign
+    * bucket; recall < 1 by construction, deterministically. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bkt").as("q_bkt"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_raw").desc, col("vec_id"))
+    e.join(broadcast(q), col("bkt") === col("q_bkt")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cos(col("q_emb"), col("embedding")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: bucket-blocked cosine >= 0.42. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    e.as("a").join(e.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+      .filter(col("sim_raw") >= 0.42)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cosine_topk" -> (cosineTopk _),
+    "llm_ann_lsh" -> (annLsh _),
+    "llm_embed_neardup" -> (embedNearDup _))
+
+  // DuckDB twins compute cosine over DOUBLE[] casts so both engines
+  // accumulate float inputs in double precision, in the same order.
+  private val eCte =
+    """e AS (SELECT vec_id, embedding,
+      |        CAST(embedding AS DOUBLE[]) AS v,
+      |        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+      |        + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+      |        + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+      |        + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |      FROM embeddings)""".stripMargin
+
+  private val cosSql =
+    "list_inner_product(%s, %s) / sqrt(list_inner_product(%s, %s) * list_inner_product(%s, %s))"
+
+  val oracle: Map[String, String] = Map(
+    "llm_cosine_topk" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT q_id, vec_id,
+         |        ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |      FROM q CROSS JOIN e WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, sim_raw,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
+         |FROM r WHERE rnk <= 5""".stripMargin,
+    "llm_ann_lsh" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id < 10),
+         |s AS (SELECT q_id, vec_id,
+         |        ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |      FROM q JOIN e ON bkt = q_bkt AND vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, sim_raw,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin,
+    "llm_embed_neardup" ->
+      s"""WITH $eCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 4) AS sim
+         |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |WHERE ${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")} >= 0.42""".stripMargin)
+}
