@@ -20,7 +20,8 @@ object SparkEntry {
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
       graft.queries.LlmText.queries ++
-      graft.queries.LlmVectors.queries
+      graft.queries.LlmVectors.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
       graft.queries.LlmText.oracle ++
-      graft.queries.LlmVectors.oracle
+      graft.queries.LlmVectors.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Streaming surface over `events` (SURVEY §2B [EXTENSION]): tumbling /
+  * sliding / session windows with a watermark, keyed dedup, late-data
+  * handling.
+  *
+  * Every transform takes a DataFrame and works on BOTH batch and
+  * streaming inputs — Structured Streaming's core unification. The
+  * graded queries run them in batch mode (DuckDB can't run a stream;
+  * the window definitions are oracle-checked on identical input), and
+  * StreamingSpec drives the same transforms through readStream +
+  * memory sink to pin streaming execution itself.
+  */
+object StreamingOps {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** The events table as a file stream (same nanos→micros conversion as
+    * Tables.load; schema discovered from the parquet footer). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows with a 10-minute watermark. */
+  def tumbling(e: DataFrame): DataFrame =
+    e.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), fmt).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def sliding(e: DataFrame): DataFrame =
+    e.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), fmt).as("win_start"),
+        col("event_type"), col("n"))
+
+  /** Per-user session windows with a 30-minute inactivity gap. */
+  def sessionized(e: DataFrame): DataFrame =
+    e.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sess.start"), fmt).as("sess_start"),
+        col("n_events"))
+
+  /** Keyed dedup: streaming uses state-backed dropDuplicates within the
+    * watermark; the deterministic batch twin keeps the first event_id
+    * per key (what dropDuplicates converges to under ordered arrival). */
+  def dedupFirstPerKey(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"))
+  }
+
+  /** Streaming-native dedup for the spec (state + watermark). */
+  def dedupStreaming(e: DataFrame): DataFrame =
+    e.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** Late-data detection in arrival order (event_id): an event is late
+    * when it sits >10 min behind the running high-watermark. The batch
+    * twin uses a global running max — intentionally mirroring the
+    * stream's single global watermark (this is a diagnostic query, not
+    * a scale path; the streaming engine keeps the same state in O(1)). */
+  def lateDrop(e: DataFrame): DataFrame = {
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("hwm", max(col("ts")).over(w))
+      .filter(col("ts") < col("hwm") - expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("ts_str"),
+        date_format(col("hwm"), fmt).as("hwm_str"))
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
+    "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
+    "stream_session" -> ((s, d) => sessionized(ev(s, d))),
+    "stream_dedup_first" -> ((s, d) => dedupFirstPerKey(ev(s, d))),
+    "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))))
+
+  // DuckDB twins over CAST(ts AS TIMESTAMP) (micros, matching Spark's
+  // nanos→micros read).
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (SELECT event_type,
+        |        time_bucket(INTERVAL 30 MINUTE, ts)
+        |          - unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS win_start,
+        |        ts
+        |      FROM e)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n
+        |FROM w WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (SELECT user_id, ts,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "stream_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "stream_late_drop" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |h AS (SELECT event_id, user_id, ts,
+        |        MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS hwm
+        |      FROM e)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(hwm, '%Y-%m-%d %H:%M:%S') AS hwm_str
+        |FROM h WHERE ts < hwm - INTERVAL 10 MINUTE""".stripMargin)
+}
