@@ -24,7 +24,9 @@ private[plans] trait FloatArrayInputs { self: BinaryExpression =>
   * generated loop — the difference is large at 100 TB where the
   * embedding column dominates scan output.
   *
-  * Null if either side is null, empty, or zero-norm.
+  * Null if: either side null, dimensions differ, any element null, or
+  * either norm is zero — corrupt embeddings surface as null rather than
+  * as a plausible-looking score computed over a truncated prefix.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with FloatArrayInputs with Serializable {
@@ -36,9 +38,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
@@ -50,15 +54,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("bad")
       s"""
-        |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |int $n = $x.numElements();
+        |boolean $bad = ($n != $y.numElements());
         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; !$bad && $i < $n; $i++) {
+        |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
         |  double $xi = (double) $x.getFloat($i);
         |  double $yi = (double) $y.getFloat($i);
         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         |}
-        |if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+        |if ($bad || $nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
         |else { ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny); }
       """.stripMargin
     })
@@ -69,31 +76,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Dot product over two `array<float>` columns (see [[CosineSimilarity]]
-  * for why a native expression rather than a higher-order function). */
+  * for why a native expression rather than a higher-order function).
+  * Same null discipline: dimension mismatch or null element → null. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with FloatArrayInputs with Serializable {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
       s"""
-        |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |int $n = $x.numElements();
+        |boolean $bad = ($n != $y.numElements());
         |${ev.value} = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; !$bad && $i < $n; $i++) {
+        |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
         |  ${ev.value} += (double) $x.getFloat($i) * (double) $y.getFloat($i);
         |}
+        |if ($bad) { ${ev.isNull} = true; }
       """.stripMargin
     })
 

@@ -1,0 +1,37 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("leftAsOf: latest right at-or-before, per key, ties inclusive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // after both signups of user 1
+      (1L, ts("2024-01-01 08:30:00")),  // between them
+      (1L, ts("2024-01-01 07:00:00")),  // before any -> null
+      (2L, ts("2024-01-01 09:00:00")),  // exact tie with signup -> match
+      (3L, ts("2024-01-01 09:00:00"))   // user with no rights -> null
+    ).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00")),
+      (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+
+    val out = AsOf.leftAsOf(left, right, Seq("user_id"), "ts", "ts", "matched")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)).map(_.toString).orNull)).toSet
+
+    assert(out == Set(
+      (1L, ts("2024-01-01 10:00:00"), "2024-01-01 09:00:00.0"),
+      (1L, ts("2024-01-01 08:30:00"), "2024-01-01 08:00:00.0"),
+      (1L, ts("2024-01-01 07:00:00"), null),
+      (2L, ts("2024-01-01 09:00:00"), "2024-01-01 09:00:00.0"),
+      (3L, ts("2024-01-01 09:00:00"), null)))
+  }
+}
