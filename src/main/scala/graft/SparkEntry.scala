@@ -21,7 +21,8 @@ object SparkEntry {
       graft.udf.Udfs.queries ++
       graft.queries.LlmText.queries ++
       graft.queries.LlmVectors.queries ++
-      graft.streaming.StreamingOps.queries
+      graft.streaming.StreamingOps.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.udf.Udfs.oracle ++
       graft.queries.LlmText.oracle ++
       graft.queries.LlmVectors.oracle ++
-      graft.streaming.StreamingOps.oracle
+      graft.streaming.StreamingOps.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

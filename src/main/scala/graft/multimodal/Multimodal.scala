@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Multimodal column handling: media as opaque `binary` columns with
+  * typed metadata, processed with per-partition batch functions.
+  *
+  * The image/audio codec libraries are not in this environment, so the
+  * actual decode is a clearly marked deterministic STUB — but the
+  * Spark-side plumbing is real and tested: schema (binary + metadata
+  * struct), partition-batched processing via mapPartitions (the Scala
+  * analogue of mapInPandas: one batch iterator per partition, no
+  * per-row serialization round-trips), feature extraction into
+  * `array<float>` ready for the LlmVectors similarity path, and
+  * stride-based frame sampling.
+  *
+  * Scale notes: media blobs dominate row width, so every operator here
+  * prunes the binary column as early as possible and never shuffles
+  * blobs — features (tiny) shuffle instead.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the blob. */
+  case class MediaMeta(format: String, nBytes: Long, checksum: Long)
+  case class MediaRow(media_id: Long, content: Array[Byte], format: String)
+  case class MediaFeatures(media_id: Long, nBytes: Long, checksum: Long,
+      features: Array[Float])
+
+  /** Media "table" derived from the documents fixture: UTF-8 bytes as
+    * the opaque blob (the pipeline treats it as any other codec input). */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain").as("format"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real build would call the codec here (e.g. JPEG →
+    * pixel array). Deterministic fake: metadata from the raw bytes.
+    * Everything around this call — batching, schema, partitioning — is
+    * the real production shape. */
+  private def decodeStub(content: Array[Byte]): MediaMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < content.length) { sum = sum * 31 + (content(i) & 0xff); i += 1 }
+    MediaMeta("decoded/stub", content.length.toLong, sum & 0x7fffffffffffffffL)
+  }
+
+  /** Per-partition batched decode + feature extraction. Features are a
+    * 16-bin byte histogram (raw counts — integers are exact in float32,
+    * so normalization happens downstream in double precision); a
+    * stand-in for an embedding that downstream ANN consumes exactly
+    * like `embeddings`. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeStub(r.content)
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < r.content.length) {
+          hist((r.content(i) & 0xff) / 16) += 1f; i += 1
+        }
+        MediaFeatures(r.media_id, meta.nBytes, meta.checksum, hist)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the blob
+    * (for video this is every k-th frame; the chunking math is the
+    * real part, the "frame" is whatever the codec stub yields). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { r =>
+      val nFrames = r.content.length / frameSize
+      (0 until nFrames by stride).map { f =>
+        (r.media_id, f.toLong,
+          java.util.Arrays.copyOfRange(r.content, f * frameSize, (f + 1) * frameSize))
+      }
+    }.toDF("media_id", "frame_no", "frame")
+  }
+
+  /** Graded query: metadata + first histogram bins per media row.
+    * (ASCII input ⇒ the oracle can recompute byte stats from chars.) */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(s, dir)).toDF()
+      .select(col("media_id"), col("nBytes").as("n_bytes"),
+        round(element_at(col("features"), 5).cast("double")
+          / col("nBytes"), 6).as("bin4"),
+        round(element_at(col("features"), 7).cast("double")
+          / col("nBytes"), 6).as("bin6"),
+        round(element_at(col("features"), 8).cast("double")
+          / col("nBytes"), 6).as("bin7"))
+
+  /** Graded query: frame sampling shape over the blob column. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir), frameSize = 32, stride = 4)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame"))).as("bytes_sampled"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> (mmFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _))
+
+  val oracle: Map[String, String] = Map(
+    // ASCII text ⇒ byte value == char code; histogram bin b counts
+    // chars with ord/16 == b. Bin 4 = space..'/' (0x20-0x2f), bins 6/7
+    // cover a-z ranges.
+    "mm_features" ->
+      """SELECT doc_id AS media_id, length(text) AS n_bytes,
+        |  ROUND(len(list_filter(range(length(text)),
+        |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 4))
+        |    / CAST(length(text) AS DOUBLE), 6) AS bin4,
+        |  ROUND(len(list_filter(range(length(text)),
+        |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 6))
+        |    / CAST(length(text) AS DOUBLE), 6) AS bin6,
+        |  ROUND(len(list_filter(range(length(text)),
+        |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 7))
+        |    / CAST(length(text) AS DOUBLE), 6) AS bin7
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(ceil((length(text) // 32) / 4.0) AS BIGINT) AS n_sampled,
+        |  CAST(ceil((length(text) // 32) / 4.0) AS BIGINT) * 32 AS bytes_sampled
+        |FROM documents WHERE length(text) >= 32""".stripMargin)
+}
