@@ -52,28 +52,45 @@ object LlmText {
 
   private val NBands = 8
 
-  /** Per-(doc, band) MinHash signature: lexicographic min of
-    * md5(band || ':' || shingle). Deterministic, oracle-reproducible. */
+  /** Per-(doc, band) MinHash signature. Two md5s per shingle, sliced
+    * into 8 independent 32-bit band hashes (8 hex chars each) — the
+    * standard few-hashes trick: vs hashing once per band it cuts both
+    * the hash work and the pre-aggregation row count 4×, which
+    * dominated the whole LLM pipeline's bench time. (A 16-bit variant
+    * was cheaper still but its band collisions flooded the verify step
+    * with false candidates — measured net-slower.) Wide-then-stack
+    * keeps it ONE aggregation pass. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingleTable(s, dir)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(NBands - 1))).as("band"), col("sh"))
-      .groupBy("doc_id", "band")
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh"))))
-        .as("sig"))
+    minhashSigsFrom(shingleTable(s, dir))
+
+  private def minhashSigsFrom(sh: DataFrame): DataFrame = {
+    val h1 = md5(col("sh"))
+    val h2 = md5(concat(col("sh"), lit("#")))
+    val mins = (0 until NBands).map { b =>
+      val src = if (b < 4) h1 else h2
+      min(substring(src, (b % 4) * 8 + 1, 8)).as(s"s$b")
+    }
+    val stackExpr = (0 until NBands)
+      .map(b => s"$b, s$b").mkString(s"stack($NBands, ", ", ", ") AS (band, sig)")
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), expr(stackExpr))
+  }
 
   /** Banded-LSH near-dedup: candidates share a (band, signature) bucket;
     * candidates are then verified with exact shingle Jaccard >= 0.5.
     * The bucket join replaces the quadratic all-pairs scan. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir)
+    // one shared, cached shingle table feeds signatures AND the verify
+    val sh = shingleTable(s, dir).persist()
+    val sigs = minhashSigsFrom(sh)
     val cands = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    withJaccard(s, dir, cands)
+    withJaccard(sh, cands)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -82,21 +99,22 @@ object LlmText {
     * source) instead of LSH — the deterministic baseline the MinHash
     * path is measured against. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir)
+    // cached: reused by the candidate self-join AND the verify stage
+    val sh = shingleTable(s, dir).persist()
     val cands = sh.as("a")
       .join(sh.as("b"),
         col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    withJaccard(s, dir, cands)
+    withJaccard(sh, cands)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Attach exact shingle Jaccard to (doc_a, doc_b) candidate pairs. */
-  private def withJaccard(s: SparkSession, dir: String, cands: DataFrame): DataFrame = {
-    val sh = shingleTable(s, dir).select("doc_id", "sh")
+  private def withJaccard(shingled: DataFrame, cands: DataFrame): DataFrame = {
+    val sh = shingled.select("doc_id", "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -243,13 +261,15 @@ object LlmText {
       s"""WITH $shingleCte,
          |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh)
          |SELECT doc_id, CAST(band AS INT) AS band,
-         |  MIN(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+         |  MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
+         |             CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
          |FROM bands GROUP BY doc_id, band""".stripMargin,
     "llm_minhash_neardup" ->
       s"""WITH $shingleCte,
          |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
          |sigs AS (SELECT doc_id, band,
-         |           MIN(md5(CAST(band AS VARCHAR) || ':' || sh)) AS sig
+         |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
+         |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
          |         FROM bands GROUP BY doc_id, band),
          |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM sigs a JOIN sigs b
