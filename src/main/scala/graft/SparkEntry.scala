@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.LlmText.queries ++
       graft.queries.LlmVectors.queries ++
       graft.streaming.StreamingOps.queries ++
-      graft.multimodal.Multimodal.queries
+      graft.multimodal.Multimodal.queries ++
+      graft.streaming.StatefulOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.LlmText.oracle ++
       graft.queries.LlmVectors.oracle ++
       graft.streaming.StreamingOps.oracle ++
-      graft.multimodal.Multimodal.oracle
+      graft.multimodal.Multimodal.oracle ++
+      graft.streaming.StatefulOps.oracle
 }

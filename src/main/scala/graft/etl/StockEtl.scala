@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CleanFns
@@ -19,6 +19,18 @@ object StockEtl {
   /** Canonical warehouse schema order (reference `dump_bigq.py:47-56`). */
   val canonicalColumns: Seq[String] =
     Seq("stock_name", "Date", "Price", "Open", "High", "Low", "Vol", "Change")
+
+  /** Typed row for the cleaned table — the `Dataset[StockBar]` view of
+    * the same data for compile-time field checks (SURVEY §1.1). */
+  case class StockBar(stock_name: String, Date: java.sql.Date,
+      Price: Option[Double], Open: Option[Double], High: Option[Double],
+      Low: Option[Double], Vol: Option[Double], Change: Option[Double])
+
+  /** Typed view of the cleaned golden table. */
+  def typedBars(spark: SparkSession, csvPath: String): Dataset[StockBar] = {
+    import spark.implicits._
+    clean(readRawCsv(spark, csvPath)).as[StockBar]
+  }
 
   /** K2: raw scan — header on, everything a string (raw layer; typing
     * happens in [[clean]], like the reference's pandas object dtype). */

@@ -80,7 +80,20 @@ object LlmVectors {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Native dot_product (SQL-registered) vs the higher-order-function
+    * formulation — both columns must agree exactly, pinning the custom
+    * expression against Spark's own fold semantics. */
+  def vectorNorms(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(
+      col("vec_id"),
+      round(GraftFunctions.dotProduct(col("embedding"), col("embedding")), 6)
+        .as("norm2_native"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+        .as("norm2_hof"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vector_norms" -> (vectorNorms _),
     "llm_cosine_topk" -> (cosineTopk _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_embed_neardup" -> (embedNearDup _))
@@ -100,6 +113,13 @@ object LlmVectors {
     "list_inner_product(%s, %s) / sqrt(list_inner_product(%s, %s) * list_inner_product(%s, %s))"
 
   val oracle: Map[String, String] = Map(
+    "llm_vector_norms" ->
+      """SELECT vec_id,
+        |  ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[])), 6) AS norm2_native,
+        |  ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[])), 6) AS norm2_hof
+        |FROM embeddings""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),

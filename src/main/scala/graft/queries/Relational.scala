@@ -215,6 +215,18 @@ object Relational {
         date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_at"))
   }
 
+  /** Pure theta (inequality-only) join — bounded to the two dimension
+    * tables, where a nested-loop is the right plan; a fact-scale theta
+    * join would instead be banded into an equi-join on a bucket key
+    * (see joinRange for that pattern). */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") < col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations_below"))
+  }
+
   // ------------------------------------------------------------- windows
 
   /** Top-3 orders by price per priority class (row_number top-k). */
@@ -353,6 +365,7 @@ object Relational {
     "join_anti" -> (joinAnti _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
+    "join_theta" -> (joinTheta _),
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_lag_lead" -> (winLagLead _),
     "win_moving_avg" -> (winMovingAvg _),
@@ -445,6 +458,10 @@ object Relational {
     "join_anti" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_theta" ->
+      """SELECT r_name, COUNT(*) AS n_nations_below
+        |FROM nation JOIN region ON n_regionkey < r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "join_range" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs

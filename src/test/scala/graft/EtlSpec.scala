@@ -39,6 +39,16 @@ class EtlSpec extends SparkTestBase {
     assert(table.filter(col("Date").isNull).count() == 0)
   }
 
+  test("typed Dataset[StockBar] view agrees with the Column API") {
+    val ds = StockEtl.typedBars(spark, "/root/reference/stock_data.csv")
+    val typedCount = ds.filter(b => b.Vol.exists(_ > 5e8)).count()
+    val colCount = table.filter(col("Vol") > 5e8).count()
+    assert(typedCount == colCount && typedCount > 0)
+    val dj = ds.filter(_.stock_name == "Dow Jones").collect()
+    val djExpected = table.filter(col("stock_name") === "Dow Jones").count()
+    assert(dj.length == djExpected && dj.nonEmpty && dj.forall(_.Price.isDefined))
+  }
+
   test("overwrite sink is a full refresh (idempotent re-run)") {
     val target = java.nio.file.Files
       .createTempDirectory("graft_etl_spec2").toString + "/stock"

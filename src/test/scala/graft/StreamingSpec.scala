@@ -35,6 +35,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState anomalies: streaming equals batch") {
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    val streamEv = StreamingOps.eventsStream(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[StatefulOps.Ev]
+    val q = StatefulOps.anomalies(streamEv).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_anom").start()
+    try {
+      q.processAllAvailable()
+      val streamed = canon(spark.table("graft_anom"))
+      val batch = canon(StatefulOps.anomalies(
+        StatefulOps.eventsTyped(spark, sf)).toDF())
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows: append-mode emissions are a subset of batch sessions") {
     val q = StreamingOps.sessionized(StreamingOps.eventsStream(spark, sf))
       .writeStream.outputMode("append")
