@@ -59,6 +59,16 @@ object StockEtl {
     df.sparkSession.read.parquet(path).count()
   }
 
+  /** L2 at scale: partitioned layout + dynamic partition overwrite —
+    * a re-run replaces only the partitions present in the incoming
+    * frame (the 100 TB shape of WRITE_TRUNCATE: daily refresh rewrites
+    * the day, not the table). */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** O1: the whole pipeline; returns the loaded table for inspection. */
   def runPipeline(spark: SparkSession, csvPath: String, tablePath: String): DataFrame = {
     val cleaned = clean(readRawCsv(spark, csvPath))

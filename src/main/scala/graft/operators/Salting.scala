@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for fact⋈dim equi-joins: salt the fact side's key
+  * into `buckets` sub-keys and explode the dim side once per salt, so
+  * one hot key's rows spread across `buckets` reducers instead of
+  * hammering a single partition.
+  *
+  * This is the manual fallback for when AQE's skew-join split isn't
+  * available (e.g., the skewed side is below AQE's partition-size
+  * threshold but a single key still dominates a reducer, or the join
+  * is dim-exploded deliberately). The salt is derived from stable row
+  * content (xxhash64 of the fact's key + a second column) so the
+  * placement is deterministic run-to-run.
+  */
+object Salting {
+
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col(factKey), spark_partition_id(), monotonically_increasing_id()),
+        lit(buckets)).cast("int"))
+    val expanded = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(expanded,
+        salted(factKey) === expanded(dimKey)
+          && salted("__salt") === expanded("__salt"))
+      .drop("__salt")
+  }
+}

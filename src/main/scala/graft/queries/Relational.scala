@@ -72,6 +72,22 @@ object Relational {
         (abs(col("n_approx") - col("n_exact")) <=
           col("n_exact") * 0.05).as("approx_ok"))
 
+  /** percentile_approx (a mergeable quantile sketch) bounds-checked
+    * against the exact interpolated percentile, same pattern as
+    * aggApproxCd: the oracle's row carries the exact values + `true`. */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_exact"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * 0.02
+          && abs(col("p90_approx") - col("p90_exact")) <= col("p90_exact") * 0.02)
+          .as("approx_ok"))
+
   /** GROUP BY ... HAVING on a per-supplier volume threshold. */
   def aggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -354,6 +370,7 @@ object Relational {
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_approx_cd" -> (aggApproxCd _),
     "agg_having" -> (aggHaving _),
+    "agg_approx_quantile" -> (aggApproxQuantile _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -414,6 +431,12 @@ object Relational {
       s"""SELECT l_suppkey, $sumQty AS total_qty, COUNT(*) AS n_items
          |FROM lineitem GROUP BY l_suppkey
          |HAVING $sumQty > 14000""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
