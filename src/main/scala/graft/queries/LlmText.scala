@@ -130,6 +130,43 @@ object LlmText {
           .as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash near-dup
+    * pair graph via iterative min-label propagation to fixpoint, so a
+    * chain a~b~c dedups to ONE keeper even when a~c was never a
+    * candidate pair. The loop is a convergence check (count of changed
+    * labels), not data collection; iterations are bounded by component
+    * diameter — near-dup clusters are shallow. At 100 TB the same loop
+    * runs with the large-star/small-star optimization; state per round
+    * is one (node, label) table. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges.join(labels, col("doc_b") === col("node"))
+        .groupBy(col("doc_a"))
+        .agg(min(col("label")).as("nbr_min"))
+        .select(col("doc_a").as("n2"), col("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("a").join(labels.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("is_keeper"))
+  }
+
   /** 32-bit tf-weighted SimHash from md5 bits: per (doc, bit) majority
     * vote over token occurrences, assembled with shifts. Two narrow
     * aggregations — no per-doc state beyond 32 counters. */
@@ -225,6 +262,7 @@ object LlmText {
     "llm_minhash_neardup" -> (minhashNearDup _),
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_simhash" -> (simhash _),
+    "llm_dedup_clusters" -> (dedupClusters _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -252,7 +290,43 @@ object LlmText {
       |JOIN sizes zb ON zb.doc_id = doc_b
       |WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5""".stripMargin
 
+  // Flattened single-level CTE list: DuckDB 1.0 rejects a WITH clause
+  // inside a derived-table subquery, so the near-dup pair pipeline and
+  // the recursive reachability share one WITH RECURSIVE list.
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $shingleCte,
+       |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
+       |sigs AS (SELECT doc_id, band,
+       |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
+       |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
+       |         FROM bands GROUP BY doc_id, band),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sigs a JOIN sigs b
+       |            ON a.band = b.band AND a.sig = b.sig
+       |           AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |          FROM cands c
+       |          JOIN sh sa ON sa.doc_id = c.doc_a
+       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+       |          GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN sizes za ON za.doc_id = doc_a
+       |          JOIN sizes zb ON zb.doc_id = doc_b
+       |          WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT doc_a AS node, doc_a AS r FROM edges
+       |  UNION
+       |  SELECT e.doc_a AS node, reach.r FROM edges e
+       |  JOIN reach ON e.doc_b = reach.node)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id,
+       |  MIN(r) = node AS is_keeper
+       |FROM reach GROUP BY node""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "llm_dedup_clusters" -> dedupClustersSql,
     "llm_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5,
         |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.plans.GraftFunctions
@@ -80,6 +81,53 @@ object LlmVectors {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Double-precision higher-order cosine — used only where one side
+    * isn't a float array (e.g. computed centroids). */
+  private def dcos(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** IVF-style ANN: coarse quantizer = per-label centroid (exact
+    * decimal sums for oracle parity), probe = the single nearest
+    * centroid, fine search only within that partition. The scale shape:
+    * the corpus is range/bucket-partitioned by list id, a query touches
+    * 1/nlist of the data, and the centroid table is broadcast-sized. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val flat = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cent = flat.groupBy("label", "pos")
+      .agg((sum(col("v").cast(DecimalType(20, 8))).cast("double")
+        / count(lit(1))).as("c"))
+    val centArr = cent.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("c_label"),
+        expr("transform(pc, x -> x.c)").as("centroid"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        col("embedding").cast("array<double>").as("qv"))
+    val wAssign = Window.partitionBy("q_id")
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val probes = q.crossJoin(broadcast(centArr))
+      .select(col("q_id"), col("q_emb"), col("c_label"),
+        dcos(col("qv"), col("centroid")).as("c_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim_raw").desc, col("vec_id"))
+    e.join(broadcast(probes),
+        col("label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cos(col("q_emb"), col("embedding")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("sim_raw"), 4).as("sim"))
+  }
+
   /** Native dot_product (SQL-registered) vs the higher-order-function
     * formulation — both columns must agree exactly, pinning the custom
     * expression against Spark's own fold semantics. */
@@ -94,6 +142,7 @@ object LlmVectors {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vector_norms" -> (vectorNorms _),
+    "llm_ann_ivf" -> (annIvf _),
     "llm_cosine_topk" -> (cosineTopk _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_embed_neardup" -> (embedNearDup _))
@@ -113,6 +162,37 @@ object LlmVectors {
     "list_inner_product(%s, %s) / sqrt(list_inner_product(%s, %s) * list_inner_product(%s, %s))"
 
   val oracle: Map[String, String] = Map(
+    "llm_ann_ivf" ->
+      s"""WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |               unnest(embedding) AS v FROM embeddings),
+         |cent AS (SELECT label, pos,
+         |           CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+         |         FROM flat GROUP BY label, pos),
+         |centarr AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |            FROM cent GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |assign AS (SELECT q_id, qv, c_label,
+         |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |               list_inner_product(qv, centroid)
+         |                 / sqrt(list_inner_product(qv, qv)
+         |                        * list_inner_product(centroid, centroid)) DESC,
+         |               c_label) AS rn
+         |           FROM q CROSS JOIN centarr),
+         |probes AS (SELECT q_id, qv, c_label AS probe_label FROM assign WHERE rn = 1),
+         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT p.q_id, e.vec_id,
+         |        list_inner_product(p.qv, e.v)
+         |          / sqrt(list_inner_product(p.qv, p.qv)
+         |                 * list_inner_product(e.v, e.v)) AS sim_raw
+         |      FROM probes p JOIN e ON e.label = p.probe_label
+         |       AND e.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, sim_raw,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
+         |FROM r WHERE rnk <= 3""".stripMargin,
     "llm_vector_norms" ->
       """SELECT vec_id,
         |  ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),
