@@ -140,9 +140,17 @@ object LlmText {
     * is one (node, label) table. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
-    val edges = pairs
+    val rawEdges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    // Adaptive layout for the iterative phase: the edge set after the
+    // Jaccard filter is usually tiny relative to the corpus, and the
+    // label-propagation rounds are then dominated by task-scheduling
+    // overhead across 32 shuffle partitions (measured 20s at sf0.1).
+    // Small graphs collapse to one partition; big graphs keep the
+    // distributed layout.
+    val edges =
+      if (rawEdges.count() < 100000) rawEdges.coalesce(1) else rawEdges
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -153,14 +161,16 @@ object LlmText {
         .groupBy(col("doc_a"))
         .agg(min(col("label")).as("nbr_min"))
         .select(col("doc_a").as("n2"), col("nbr_min"))
+      // change flag computed inside the propagation pass — a separate
+      // labels⨝next comparison job per round doubled the loop's cost
       val next = labels
         .join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next.as("a").join(labels.as("b"), col("a.node") === col("b.node"))
-        .filter(col("a.label") =!= col("b.label")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
