@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -177,6 +178,62 @@ object LlmText {
       (col("node") === col("label")).as("is_keeper"))
   }
 
+  /** Apply the dedup decision: the corpus with near-dup cluster
+    * non-keepers removed (left-anti against the clusters table). This
+    * is the query a training pipeline actually materializes. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val drop = dedupClusters(s, dir)
+      .filter(!col("is_keeper")).select("doc_id")
+    docs(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Deterministic uniform in [0,1) from the first 4 hex digits of
+    * md5(doc_id) — reproducible in the oracle, unlike rand(). */
+  private val detU: Column = {
+    def c(i: Int) =
+      expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), $i, 1)) - 1")
+    ((((c(1) * 16 + c(2)) * 16 + c(3)) * 16 + c(4)) / 65536.0)
+  }
+
+  /** Weighted reservoir sampling (Efraimidis–Spirakis A-Res): key =
+    * u^(1/w), top-k by key per stratum. Single pass and mergeable —
+    * the distributed-correct way to draw a weighted training sample;
+    * with the deterministic u it is also oracle-reproducible. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("skey").desc, col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        pow(detU, lit(1.0) / col("n_chars")).as("skey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("doc_id"),
+        round(col("skey"), 6).as("skey"))
+  }
+
+  /** Corpus mixing: a token budget split across sources by weight
+    * (src0 oversampled 2×), filled in deterministic md5 order with a
+    * running token cumsum per source. The training-mixture op: one
+    * window per stratum, no global coordination. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val srcWeight = when(col("source") === "src0", 2.0).otherwise(1.0)
+    val totalW = docs(s, dir).select(col("source")).distinct()
+      .agg(sum(srcWeight).as("total_w"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(totalW))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= lit(20000.0) * srcWeight / col("total_w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_used"))
+  }
+
   /** 32-bit tf-weighted SimHash from md5 bits: per (doc, bit) majority
     * vote over token occurrences, assembled with shifts. Two narrow
     * aggregations — no per-doc state beyond 32 counters. */
@@ -273,6 +330,9 @@ object LlmText {
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_simhash" -> (simhash _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_dedup_apply" -> (dedupApply _),
+    "llm_weighted_sample" -> (weightedSample _),
+    "llm_corpus_mix" -> (corpusMix _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -335,8 +395,48 @@ object LlmText {
        |  MIN(r) = node AS is_keeper
        |FROM reach GROUP BY node""".stripMargin
 
+  /** Same pipeline, applied: the surviving corpus. */
+  private val dedupApplySql = {
+    val prefix = dedupClustersSql.substring(0,
+      dedupClustersSql.indexOf("SELECT node AS doc_id"))
+    prefix.trim + ",\n" +
+      """dropped AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM dropped)""".stripMargin
+  }
+
+  private val uSql =
+    """((((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+      |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) / 65536.0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_dedup_apply" -> dedupApplySql,
+    "llm_weighted_sample" ->
+      s"""WITH u AS (SELECT doc_id, source, n_chars, $uSql AS u FROM documents),
+         |k AS (SELECT source, doc_id, pow(u, 1.0 / n_chars) AS skey,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) AS BIGINT) AS rnk
+         |      FROM u)
+         |SELECT source, rnk, doc_id, ROUND(skey, 6) AS skey
+         |FROM k WHERE rnk <= 5""".stripMargin,
+    "llm_corpus_mix" ->
+      """WITH tw AS (SELECT SUM(CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END) AS total_w
+        |            FROM (SELECT DISTINCT source FROM documents)),
+        |d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM d)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_used
+        |FROM c CROSS JOIN tw
+        |WHERE cum_tokens <= 20000.0 * (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END) / total_w
+        |GROUP BY source""".stripMargin,
     "llm_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5,
         |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
