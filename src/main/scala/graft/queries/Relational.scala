@@ -88,6 +88,21 @@ object Relational {
           && abs(col("p90_approx") - col("p90_exact")) <= col("p90_exact") * 0.02)
           .as("approx_ok"))
 
+  /** Native bitmap exact-distinct (graft.plans.BitmapDistinct, a
+    * TypedImperativeAggregate): one aggregation pass, per-group bitmap
+    * buffers OR-merged map-side — vs COUNT(DISTINCT)'s expand+double
+    * aggregation. Exact, so the oracle is plain COUNT(DISTINCT). */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_bmd_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  bitmap_distinct(l_partkey, 1048575) AS n_parts,
+        |  bitmap_distinct(l_suppkey, 1048575) AS n_supps
+        |FROM graft_bmd_lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** GROUP BY ... HAVING on a per-supplier volume threshold. */
   def aggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -371,6 +386,7 @@ object Relational {
     "agg_approx_cd" -> (aggApproxCd _),
     "agg_having" -> (aggHaving _),
     "agg_approx_quantile" -> (aggApproxQuantile _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -431,6 +447,11 @@ object Relational {
       s"""SELECT l_suppkey, $sumQty AS total_qty, COUNT(*) AS n_items
          |FROM lineitem GROUP BY l_suppkey
          |HAVING $sumQty > 14000""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "agg_approx_quantile" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
