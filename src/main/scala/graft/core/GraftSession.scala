@@ -26,6 +26,9 @@ object GraftSession {
       // which vanilla Spark 4.x rejects (PARQUET_TYPE_ILLEGAL). Read the
       // raw int64 nanos and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write-side defaults for the 100 TB layout: zstd parquet (best
+      // scan-cost/size tradeoff for cold data) — readers are unaffected.
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 

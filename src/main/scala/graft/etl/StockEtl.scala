@@ -37,6 +37,29 @@ object StockEtl {
   def readRawCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
 
+  /** K2 with quarantine: PERMISSIVE mode captures structurally broken
+    * rows in a `_corrupt` column instead of silently dropping them —
+    * the reader-level analogue of the reference's malformed-row filter
+    * (S4), but auditable: good rows flow on, bad rows are counted and
+    * can be sunk to a quarantine path. */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+      schemaCols: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(
+      schemaCols.map(StructField(_, StringType)) :+
+        StructField("_corrupt", StringType))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(path)
+      .cache() // required: corrupt-record column cannot be filtered on
+               // a pushed-down subset of columns (Spark CSV contract)
+    (raw.filter(col("_corrupt").isNull).drop("_corrupt"),
+      raw.filter(col("_corrupt").isNotNull).select("_corrupt"))
+  }
+
   /** T5 + T1–T4 + T6: canonicalize drifted column names, then type
     * every column with the pinned null-production rules. */
   def clean(raw: DataFrame): DataFrame = {
