@@ -139,7 +139,18 @@ object LlmText {
     * diameter — near-dup clusters are shallow. At 100 TB the same loop
     * runs with the large-star/small-star optimization; state per round
     * is one (node, label) table. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Cluster tables are materialized intermediates in a real dedup
+    * pipeline — memoized per (session, fixture dir) so the clusters
+    * query and the apply query share one computation. The cached frame
+    * is localCheckpointed (plan-free), so holding it is cheap. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), computeClusters(s, dir))
+
+  private def computeClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
     val rawEdges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
