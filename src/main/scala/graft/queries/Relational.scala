@@ -334,6 +334,52 @@ object Relational {
         col("o_orderkey"))
   }
 
+  /** Pivot order counts: priorities × status columns. Pivot with an
+    * explicit value list — at scale the values MUST be pinned (an
+    * unpinned pivot runs a distinct scan first). */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+
+  /** Unpivot (melt) wide metric columns to long form. */
+  def reshapeUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice")),
+        "metric", "value")
+
+  /** Time-based RANGE frame: per-user rolling 1-hour sum over event
+    * values (epoch-second ordering so ties resolve identically in the
+    * oracle). */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("epoch"))
+      .rangeBetween(-3600, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("rolling_1h"))
+  }
+
+  /** Correlated scalar subquery: orders 1.5× above their customer's
+    * average (decorrelated by Catalyst into an aggregate + join). */
+  def subqCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_subq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_subq_orders o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+        |                            FROM graft_subq_orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   // --------------------------------------------------------- sort / limit
 
   /** Global top-100 orders by price (unique tiebreak for determinism). */
@@ -399,6 +445,10 @@ object Relational {
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
     "join_theta" -> (joinTheta _),
+    "agg_pivot" -> (aggPivot _),
+    "reshape_unpivot" -> (reshapeUnpivot _),
+    "win_range_frame" -> (winRangeFrame _),
+    "subq_correlated" -> (subqCorrelated _),
     "win_topk_per_group" -> (winTopkPerGroup _),
     "win_lag_lead" -> (winLagLead _),
     "win_moving_avg" -> (winMovingAvg _),
@@ -502,6 +552,31 @@ object Relational {
     "join_anti" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "reshape_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS value FROM lineitem""".stripMargin,
+    "win_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch,
+        |             value
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+        |FROM e""".stripMargin,
+    "subq_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+        |                            FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "join_theta" ->
       """SELECT r_name, COUNT(*) AS n_nations_below
         |FROM nation JOIN region ON n_regionkey < r_regionkey
