@@ -76,10 +76,15 @@ object StockEtl {
   }
 
   /** L1/L2: full-refresh overwrite (the reference's WRITE_TRUNCATE),
-    * returning the post-load row count (its `num_rows` verification). */
+    * returning the loaded row count (its `num_rows` verification,
+    * dump_bigq.py:148-149). The count comes from an [[Observation]]
+    * attached to the write itself — at 100 TB a read-back count() is a
+    * full second scan; observed metrics are free. */
   def overwriteTable(df: DataFrame, path: String): Long = {
-    df.write.mode(SaveMode.Overwrite).parquet(path)
-    df.sparkSession.read.parquet(path).count()
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** L2 at scale: partitioned layout + dynamic partition overwrite —

@@ -55,6 +55,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join: signups joined to later errors per user") {
+    import org.apache.spark.sql.functions._
+    def side(tpe: String, prefix: String) =
+      StreamingOps.eventsStream(spark, sf)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("signup", "s")
+      .join(side("error", "e"),
+        expr("""s_user = e_user AND e_ts > s_ts
+                AND e_ts <= s_ts + INTERVAL 2 HOURS""")) // time-bounded state
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ss_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ss_join").count()
+      val e = graft.core.Tables.load(spark, sf, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("s_ts"))
+      val er = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("ts").as("e_ts"))
+      val batch = su.join(er, col("su") === col("eu")
+        && col("e_ts") > col("s_ts")
+        && col("e_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS")).count()
+      assert(streamed == batch && streamed > 0)
+    } finally q.stop()
+  }
+
   test("session windows: append-mode emissions are a subset of batch sessions") {
     val q = StreamingOps.sessionized(StreamingOps.eventsStream(spark, sf))
       .writeStream.outputMode("append")
