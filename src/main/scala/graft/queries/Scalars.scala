@@ -99,6 +99,18 @@ object Scalars {
       round(aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double")), 6).as("sum_e"))
 
+  /** Map-type functions: construction, key access (missing key → null
+    * under non-ANSI element_at), cardinality. */
+  def scalarMap(s: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("qty"), col("l_quantity"), lit("disc"), col("l_discount"))
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      element_at(m, "qty").as("qty_val"),
+      element_at(m, "disc").as("disc_val"),
+      element_at(m, "missing").isNull.as("missing_is_null"),
+      size(map_keys(m)).cast("long").as("n_keys"))
+  }
+
   /** Generator surface: explode tokens, global top-20 token counts. */
   def explodeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -116,6 +128,7 @@ object Scalars {
     "scalar_conditional" -> (scalarConditional _),
     "json_extract" -> (jsonExtract _),
     "array_ops" -> (arrayOps _),
+    "scalar_map" -> (scalarMap _),
     "explode_tokens" -> (explodeTokens _))
 
   val oracle: Map[String, String] = Map(
@@ -171,6 +184,13 @@ object Scalars {
         |  ROUND(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE))), 6) AS sum_e
         |FROM embeddings""".stripMargin,
+    "scalar_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST((MAP(['qty','disc'], [l_quantity, l_discount])['qty'])[1] AS DOUBLE) AS qty_val,
+        |  CAST((MAP(['qty','disc'], [l_quantity, l_discount])['disc'])[1] AS DOUBLE) AS disc_val,
+        |  (MAP(['qty','disc'], [l_quantity, l_discount])['missing'])[1] IS NULL AS missing_is_null,
+        |  CAST(cardinality(MAP(['qty','disc'], [l_quantity, l_discount])) AS BIGINT) AS n_keys
+        |FROM lineitem""".stripMargin,
     "explode_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
