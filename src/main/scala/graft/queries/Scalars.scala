@@ -111,6 +111,18 @@ object Scalars {
       size(map_keys(m)).cast("long").as("n_keys"))
   }
 
+  /** Struct-type functions: construction, field access, nested struct. */
+  def scalarStruct(s: SparkSession, dir: String): DataFrame = {
+    val pricing = struct(col("l_extendedprice").as("price"),
+      col("l_discount").as("disc"))
+    val nested = struct(pricing.as("pricing"), col("l_returnflag").as("flag"))
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      pricing.getField("price").as("price_out"),
+      nested.getField("pricing").getField("disc").as("disc_out"),
+      nested.getField("flag").as("flag_out"))
+  }
+
   /** Generator surface: explode tokens, global top-20 token counts. */
   def explodeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -129,6 +141,7 @@ object Scalars {
     "json_extract" -> (jsonExtract _),
     "array_ops" -> (arrayOps _),
     "scalar_map" -> (scalarMap _),
+    "scalar_struct" -> (scalarStruct _),
     "explode_tokens" -> (explodeTokens _))
 
   val oracle: Map[String, String] = Map(
@@ -184,6 +197,14 @@ object Scalars {
         |  ROUND(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE))), 6) AS sum_e
         |FROM embeddings""".stripMargin,
+    "scalar_struct" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ({'price': l_extendedprice, 'disc': l_discount}).price AS price_out,
+        |  ({'pricing': {'price': l_extendedprice, 'disc': l_discount},
+        |    'flag': l_returnflag}).pricing.disc AS disc_out,
+        |  ({'pricing': {'price': l_extendedprice, 'disc': l_discount},
+        |    'flag': l_returnflag}).flag AS flag_out
+        |FROM lineitem""".stripMargin,
     "scalar_map" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST((MAP(['qty','disc'], [l_quantity, l_discount])['qty'])[1] AS DOUBLE) AS qty_val,
