@@ -33,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
              .reset_index(drop=True)
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, only: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -43,6 +43,8 @@ def main(sfdir: str, outdir: str) -> int:
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and only not in name:
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output written")
@@ -90,4 +92,5 @@ def main(sfdir: str, outdir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
