@@ -25,21 +25,30 @@ object AsOf {
     *               right timestamp (null when no right row precedes). */
   def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, outCol: String): DataFrame = {
+    // Helper columns must not collide with user columns on either input
+    // (withColumn would silently REPLACE them and the final drop would
+    // remove the user's data) — pick the first unused suffixed names.
+    val taken = (left.columns ++ right.columns).toSet + outCol
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!taken.contains(_)).get
+    val tsC = fresh("__ts"); val sideC = fresh("__is_left")
+    val rtsC = fresh("__r_ts")
     val rType = right.schema(rightTs).dataType
     val lt = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__is_left", lit(1))
-      .withColumn("__r_ts", lit(null).cast(rType))
+      .withColumn(tsC, col(leftTs))
+      .withColumn(sideC, lit(1))
+      .withColumn(rtsC, lit(null).cast(rType))
     val rt = right
-      .select((keys.map(col) :+ col(rightTs).as("__ts") :+
-        col(rightTs).as("__r_ts")): _*)
-      .withColumn("__is_left", lit(0))
+      .select((keys.map(col) :+ col(rightTs).as(tsC) :+
+        col(rightTs).as(rtsC)): _*)
+      .withColumn(sideC, lit(0))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .orderBy(col(tsC).asc, col(sideC).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     lt.unionByName(rt, allowMissingColumns = true)
-      .withColumn(outCol, last(col("__r_ts"), ignoreNulls = true).over(w))
-      .filter(col("__is_left") === 1)
-      .drop("__ts", "__is_left", "__r_ts")
+      .withColumn(outCol, last(col(rtsC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .drop(tsC, sideC, rtsC)
   }
 }

@@ -19,9 +19,12 @@ object Salting {
 
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, buckets: Int): DataFrame = {
+    // Salt from stable row content only (hash of every fact column), so a
+    // map-task retry recomputes the identical salt — nondeterministic
+    // inputs like spark_partition_id() would make the shuffle key unstable
+    // and risk row loss/duplication on partial stage retry.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(col(factKey), spark_partition_id(), monotonically_increasing_id()),
-        lit(buckets)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
     val expanded = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(expanded,

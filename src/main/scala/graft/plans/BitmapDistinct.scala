@@ -30,6 +30,13 @@ case class BitmapDistinct(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // Guard the buffer size: a negative maxKey would explode via the
+  // unsigned shift in `words` (maxKey = -1 → ~512 MB per group), and an
+  // unbounded one defeats the fixed-small-buffer design. 2^28 caps the
+  // per-group buffer at 32 MB.
+  require(maxKey >= 0 && maxKey <= BitmapDistinct.MaxKeyLimit,
+    s"bitmap_distinct maxKey must be in [0, ${BitmapDistinct.MaxKeyLimit}], got $maxKey")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -91,4 +98,9 @@ case class BitmapDistinct(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+object BitmapDistinct {
+  /** Largest accepted maxKey (2^28 − 1): 32 MB bitset per group. */
+  val MaxKeyLimit: Int = (1 << 28) - 1
 }

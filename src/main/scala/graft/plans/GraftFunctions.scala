@@ -15,9 +15,19 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "bitmap_distinct", exprs => BitmapDistinct(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+      "bitmap_distinct", exprs => {
+        require(exprs.length == 2,
+          "bitmap_distinct(key, maxKey) takes exactly 2 arguments")
+        require(exprs(1).foldable,
+          "bitmap_distinct maxKey must be a literal (foldable) integer, " +
+            s"got non-foldable expression: ${exprs(1).sql}")
+        val mk = exprs(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"bitmap_distinct maxKey must be numeric, got $other")
+        }
+        BitmapDistinct(exprs(0), mk).toAggregateExpression()
+      }, "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

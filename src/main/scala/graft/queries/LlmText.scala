@@ -82,35 +82,45 @@ object LlmText {
     * candidates are then verified with exact shingle Jaccard >= 0.5.
     * The bucket join replaces the quadratic all-pairs scan. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // one shared, cached shingle table feeds signatures AND the verify
+    // one shared, cached shingle table feeds signatures AND the verify;
+    // the (small) pair result is materialized eagerly so the cache can
+    // be RELEASED before returning — persist without unpersist would
+    // accumulate blocks across invocations.
     val sh = shingleTable(s, dir).persist()
-    val sigs = minhashSigsFrom(sh)
-    val cands = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(sh, cands)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    try {
+      val sigs = minhashSigsFrom(sh)
+      val cands = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      withJaccard(sh, cands)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist(blocking = false)
   }
 
   /** Exact shingle-Jaccard near-dup with a natural blocking key (same
     * source) instead of LSH — the deterministic baseline the MinHash
     * path is measured against. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // cached: reused by the candidate self-join AND the verify stage
+    // cached: reused by the candidate self-join AND the verify stage;
+    // eager-materialize the small result, then release the cache.
     val sh = shingleTable(s, dir).persist()
-    val cands = sh.as("a")
-      .join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(sh, cands)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    try {
+      val cands = sh.as("a")
+        .join(sh.as("b"),
+          col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      withJaccard(sh, cands)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist(blocking = false)
   }
 
   /** Attach exact shingle Jaccard to (doc_a, doc_b) candidate pairs. */
@@ -143,12 +153,19 @@ object LlmText {
     * pipeline — memoized per (session, fixture dir) so the clusters
     * query and the apply query share one computation. The cached frame
     * is localCheckpointed (plan-free), so holding it is cheap. */
+  // WeakHashMap keyed on the session object itself: the entry vanishes
+  // with the session (identityHashCode keys could be reused after GC and
+  // hand back a DataFrame bound to a stopped session).
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir), computeClusters(s, dir))
+    clusterCache.synchronized {
+      val perSession = clusterCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty)
+      perSession.getOrElseUpdate(dir, computeClusters(s, dir))
+    }
 
   private def computeClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")
@@ -190,6 +207,8 @@ object LlmText {
       labels = next.drop("chg")
       iter += 2
     }
+    // labels is localCheckpoint'd (plan-free), so the edge cache can go.
+    rawEdges.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("is_keeper"))
   }

@@ -34,4 +34,21 @@ class AsOfSpec extends SparkTestBase {
       (2L, ts("2024-01-01 09:00:00"), "2024-01-01 09:00:00.0"),
       (3L, ts("2024-01-01 09:00:00"), null)))
   }
+
+  test("leftAsOf: user columns named like the helpers survive intact") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "keepL", 42)
+    ).toDF("user_id", "ts", "__ts", "__is_left")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "ts")
+
+    val out = AsOf.leftAsOf(left, right, Seq("user_id"), "ts", "ts", "matched")
+    assert(out.columns.toSet ==
+      Set("user_id", "ts", "__ts", "__is_left", "matched"))
+    val r = out.head()
+    assert(r.getAs[String]("__ts") == "keepL")
+    assert(r.getAs[Int]("__is_left") == 42)
+    assert(r.getAs[Timestamp]("matched") == ts("2024-01-01 08:00:00"))
+  }
 }

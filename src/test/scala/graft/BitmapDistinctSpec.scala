@@ -21,6 +21,24 @@ class BitmapDistinctSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("negative, oversized, and non-literal maxKey are rejected with clear errors") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("graft_bmd_t3")
+    val neg = intercept[Exception] {
+      spark.sql("SELECT bitmap_distinct(k, -1) FROM graft_bmd_t3").collect()
+    }
+    assert(neg.getMessage.contains("maxKey"))
+    val big = intercept[Exception] {
+      spark.sql("SELECT bitmap_distinct(k, 2147483647) FROM graft_bmd_t3").collect()
+    }
+    assert(big.getMessage.contains("maxKey"))
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT bitmap_distinct(k, CAST(k AS INT)) FROM graft_bmd_t3").collect()
+    }
+    assert(nonLit.getMessage.contains("foldable") ||
+      nonLit.getMessage.contains("literal"))
+  }
+
   test("matches countDistinct on fixture data per group") {
     graft.plans.GraftFunctions.register(spark)
     graft.core.Tables.load(spark, sf, "lineitem")

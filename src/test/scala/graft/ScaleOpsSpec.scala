@@ -26,6 +26,20 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(a.sameElements(b) && a.nonEmpty)
   }
 
+  test("salted join plan is fully deterministic (stable under task retry)") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val joined = Salting.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey", 4)
+    val allDeterministic = joined.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+      .forall(_.deterministic)
+    assert(allDeterministic,
+      "salt must come from stable row content only — a nondeterministic " +
+        "shuffle key risks row loss/duplication on partial stage retry")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in plan") {
     val li = Tables.load(spark, sf, "lineitem")
     val o = Tables.load(spark, sf, "orders")
