@@ -30,11 +30,29 @@ object LlmText {
       .otherwise(transform(sequence(lit(0), size(tokens) - 3),
         i => concat_ws(" ", get(tokens, i), get(tokens, i + 1), get(tokens, i + 2))))
 
-  /** doc_id + exploded DISTINCT shingle per row. */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+  private def fanout(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** doc_id + exploded shingle per row — duplicates RETAINED (the
+    * MinHash min-aggregation is duplicate-insensitive; set-semantics
+    * consumers go through [[hashedShingleSet]]). Repartitions the doc
+    * table before the generate: a compact corpus file scans as ONE task
+    * while explode amplifies ~50×, so the fan-out must happen before
+    * the amplification or the whole shingle pipeline runs single-
+    * threaded. The repartition shuffle moves only the narrow doc rows. */
+  private def rawShingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .repartition(fanout(s))
       .select(col("doc_id"), col("source"),
         explode(shingles(toks(col("text")))).as("sh"))
+
+  /** DISTINCT (doc_id, source, shingle-hash): shingles as xxhash64
+    * int64s, so the distinct and every downstream join shuffle 8-byte
+    * keys instead of ~20-char strings. Collisions are ~n²/2⁶⁴ —
+    * negligible against corpus sizes — and the hex-md5 signature path
+    * never goes through this table, so oracle parity is untouched. */
+  private def hashedShingleSet(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("source"), xxhash64(col("sh")).as("sh"))
       .distinct()
 
   // ------------------------------------------------------------- dedup
@@ -60,22 +78,32 @@ object LlmText {
     * dominated the whole LLM pipeline's bench time. (A 16-bit variant
     * was cheaper still but its band collisions flooded the verify step
     * with false candidates — measured net-slower.) Wide-then-stack
-    * keeps it ONE aggregation pass. */
+    * keeps it ONE aggregation pass.
+    *
+    * The min runs over the hex slice parsed to a LONG, re-formatted to
+    * hex after aggregation: fixed-width lowercase hex is order-
+    * isomorphic to its unsigned value, so the result is bit-identical
+    * to a string min — but a numeric agg buffer plans as a map-side-
+    * partial HashAggregate where min(string) falls back to
+    * SortAggregate (a full sort of the exploded shingles). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSigsFrom(shingleTable(s, dir))
+    minhashSigsFrom(rawShingles(s, dir))
 
   private def minhashSigsFrom(sh: DataFrame): DataFrame = {
     val h1 = md5(col("sh"))
     val h2 = md5(concat(col("sh"), lit("#")))
     val mins = (0 until NBands).map { b =>
       val src = if (b < 4) h1 else h2
-      min(substring(src, (b % 4) * 8 + 1, 8)).as(s"s$b")
+      min(conv(substring(src, (b % 4) * 8 + 1, 8), 16, 10).cast("long"))
+        .as(s"s$b")
     }
     val stackExpr = (0 until NBands)
-      .map(b => s"$b, s$b").mkString(s"stack($NBands, ", ", ", ") AS (band, sig)")
+      .map(b => s"$b, s$b").mkString(s"stack($NBands, ", ", ", ") AS (band, sigv)")
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), expr(stackExpr))
+      .select(col("doc_id"), col("band"),
+        lower(lpad(hex(col("sigv")), 8, "0")).as("sig"))
   }
 
   /** Banded-LSH near-dedup: candidates share a (band, signature) bucket;
@@ -86,20 +114,33 @@ object LlmText {
     // the (small) pair result is materialized eagerly so the cache can
     // be RELEASED before returning — persist without unpersist would
     // accumulate blocks across invocations.
-    val sh = shingleTable(s, dir).persist()
+    val raw = rawShingles(s, dir).persist()
     try {
-      val sigs = minhashSigsFrom(sh)
+      val sigs = minhashSigsFrom(raw)
+      // the pair list is tiny and referenced three times below (two
+      // candidate-doc projections + the intersect join) — materialize it
+      // once or the whole signature pipeline re-runs per reference
       val cands = sigs.as("a")
         .join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      withJaccard(sh, cands)
+        .localCheckpoint(eager = true)
+      // Set-semantics (distinct) shingles are only needed for docs that
+      // appear in a candidate pair — semi-join BEFORE the distinct, so
+      // the expensive dedup shuffle scales with the candidate set, not
+      // the corpus. AQE broadcasts the (tiny) candidate-doc list.
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val shCand = hashedShingleSet(
+        raw.join(candDocs, Seq("doc_id"), "left_semi"))
+      withJaccard(shCand, cands)
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .localCheckpoint(eager = true)
-    } finally sh.unpersist(blocking = false)
+    } finally raw.unpersist(blocking = false)
   }
 
   /** Exact shingle-Jaccard near-dup with a natural blocking key (same
@@ -107,8 +148,11 @@ object LlmText {
     * path is measured against. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     // cached: reused by the candidate self-join AND the verify stage;
-    // eager-materialize the small result, then release the cache.
-    val sh = shingleTable(s, dir).persist()
+    // eager-materialize the small result, then release the cache. The
+    // whole path runs on int64 shingle hashes — the blocking self-join
+    // must cover the corpus, so shrinking its shuffle key matters most
+    // here.
+    val sh = hashedShingleSet(rawShingles(s, dir)).persist()
     try {
       val cands = sh.as("a")
         .join(sh.as("b"),
@@ -273,7 +317,10 @@ object LlmText {
     * vote over token occurrences, assembled with shifts. Two narrow
     * aggregations — no per-doc state beyond 32 counters. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    // fan out before the ~token_count × 32 explode amplification (the
+    // compact corpus file otherwise scans — and explodes — as 1 task)
     val tokenHash = docs(s, dir)
+      .repartition(fanout(s))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
     val bitVotes = tokenHash
@@ -351,8 +398,10 @@ object LlmText {
   /** Fingerprints: content hash over the sorted distinct token set plus
     * a winnowing-style min-shingle-hash. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // ~50 md5s + an array sort per row: worth fanning the 1-task scan
+    // out across cores even though the op itself is narrow
     val t = toks(col("text"))
-    docs(s, dir).select(
+    docs(s, dir).repartition(fanout(s)).select(
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(t)))).as("content_md5"),
       array_min(transform(shingles(t), sh => md5(sh))).as("min_shingle_md5"))
