@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components via the alternating large-star / small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) — the scale path for BIG edge sets, complementing
+  * the simple min-label propagation in [[graft.queries.LlmText]]:
+  * label propagation converges in O(diameter) rounds, while the
+  * star operations contract the graph in O(log n) rounds and keep
+  * per-round state proportional to the (shrinking) edge set. Both
+  * produce the same labeling: every node → the minimum node id of its
+  * component.
+  *
+  * Each round is two shuffles (a groupBy per star step); edges only
+  * ever rewire toward smaller ids, so `sum(src + dst)` strictly
+  * decreases until the fixpoint — that monotone invariant is the
+  * convergence check (one cheap agg per round, no edge-set diff).
+  */
+object ConnectedComponents {
+
+  /** One star step. Large connects strictly-larger neighbors of each
+    * node to the minimum of its closed neighborhood; small connects the
+    * ≤ neighbors (and the node itself) to that minimum. */
+  private def star(edges: DataFrame, large: Boolean): DataFrame = {
+    val nbrs = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = nbrs.groupBy("src")
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    val joined = nbrs.join(mins, "src")
+    val rewired =
+      if (large) joined.filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      else joined.filter(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("src"), col("m").as("dst")))
+    rewired.filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** @param edges two LONG columns (src, dst), undirected, self-loops
+    *              ignored.
+    * @return (node, component) where component = min node id reachable;
+    *         every node of `edges` appears exactly once. */
+  def components(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var prevSum = BigDecimal(-1)
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prev = e
+      e = star(star(e, large = true), large = false)
+        .localCheckpoint(eager = true)
+      val sum = Option(
+        e.agg(org.apache.spark.sql.functions.sum(
+          col("src").cast("decimal(38,0)") + col("dst").cast("decimal(38,0)")))
+          .head().getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      // equal sums almost always means the fixpoint; confirm with an
+      // exact set diff only on those (rare) rounds
+      converged = sum == prevSum &&
+        e.exceptAll(prev).isEmpty && prev.exceptAll(e).isEmpty
+      prevSum = sum
+      iter += 1
+    }
+    // At the fixpoint the graph is a star forest: every non-root points
+    // straight at its component minimum.
+    val labels = e.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("component"))
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("component"), col("node")))
+          .as("component"))
+  }
+}

@@ -268,6 +268,57 @@ object LlmText {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Same clustering as [[dedupClusters]] but through the alternating
+    * large-star/small-star contraction ([[graft.operators.ConnectedComponents]])
+    * — the O(log n)-round formulation for edge sets too large for
+    * diameter-bounded label propagation. Same output, same oracle. */
+  def ccAltStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents.components(s, pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_keeper"))
+  }
+
+  /** TF-IDF term scoring: tf per (doc, term), document frequency over
+    * the corpus, idf = ln((N+1)/(df+1)), top-3 terms for the first 20
+    * docs. Two aggregations plus a broadcast of the scalar doc count —
+    * the df table is the only corpus-wide shuffle. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tok.filter(col("doc_id") < 20)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        round(col("tfidf_raw"), 4).as("tfidf"))
+  }
+
+  /** PII redaction over the event payloads (the fixture column that
+    * actually carries digits): email-shaped then numeric literals →
+    * placeholder tokens, plus a redaction count. Pure per-row
+    * codegen'd regexps — no shuffle at any scale. */
+  def piiMask(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+    val num = "[0-9]+"
+    Tables.load(s, dir, "events").select(
+      col("event_id"),
+      regexp_replace(regexp_replace(col("props"), email, "<email>"),
+        num, "<num>").as("masked_props"),
+      size(expr(s"regexp_extract_all(props, '$num', 0)")).cast("long")
+        .as("n_redacted"))
+  }
+
   /** Deterministic uniform in [0,1) from the first 4 hex digits of
     * md5(doc_id) — reproducible in the oracle, unlike rand(). */
   private val detU: Column = {
@@ -415,6 +466,9 @@ object LlmText {
     "llm_simhash" -> (simhash _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_dedup_apply" -> (dedupApply _),
+    "llm_cc_altstar" -> (ccAltStar _),
+    "llm_tfidf" -> (tfidf _),
+    "text_pii_mask" -> (piiMask _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
     "text_tokens" -> (textTokens _),
@@ -498,7 +552,34 @@ object LlmText {
 
   val oracle: Map[String, String] = Map(
     "llm_dedup_clusters" -> dedupClustersSql,
+    // identical clustering through a different distributed algorithm —
+    // the oracle is the same recursive-reachability SQL
+    "llm_cc_altstar" -> dedupClustersSql,
     "llm_dedup_apply" -> dedupApplySql,
+    "llm_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE doc_id < 20 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.term AS term, tf,
+        |         tf * LN((n_docs + 1.0) / (df + 1.0)) AS tfidf_raw
+        |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, tfidf_raw,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY tfidf_raw DESC, term) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, rnk, term, tf, ROUND(tfidf_raw, 4) AS tfidf
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    "text_pii_mask" ->
+      """SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+',
+        |                   '<email>', 'g'),
+        |    '[0-9]+', '<num>', 'g') AS masked_props,
+        |  len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+        |FROM events""".stripMargin,
     "llm_weighted_sample" ->
       s"""WITH u AS (SELECT doc_id, source, n_chars, $uSql AS u FROM documents),
          |k AS (SELECT source, doc_id, pow(u, 1.0 / n_chars) AS skey,

@@ -94,7 +94,16 @@ object LlmVectors {
     * centroid, fine search only within that partition. The scale shape:
     * the corpus is range/bucket-partitioned by list id, a query touches
     * 1/nlist of the data, and the centroid table is broadcast-sized. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfProbes(s, dir, nprobe = 1)
+
+  /** nprobe=2: the standard recall knob — fine search covers the TWO
+    * nearest coarse partitions, trading 2× scanned fraction for recall
+    * on queries near a partition boundary. */
+  def annIvf2(s: SparkSession, dir: String): DataFrame =
+    annIvfProbes(s, dir, nprobe = 2)
+
+  private def annIvfProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = emb(s, dir)
     val flat = e.select(col("label"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -115,7 +124,7 @@ object LlmVectors {
       .select(col("q_id"), col("q_emb"), col("c_label"),
         dcos(col("qv"), col("centroid")).as("c_sim"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"))
     val wTop = Window.partitionBy("q_id").orderBy(col("sim_raw").desc, col("vec_id"))
     e.join(broadcast(probes),
@@ -143,6 +152,7 @@ object LlmVectors {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vector_norms" -> (vectorNorms _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_ann_ivf2" -> (annIvf2 _),
     "llm_cosine_topk" -> (cosineTopk _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_embed_neardup" -> (embedNearDup _))
@@ -161,38 +171,42 @@ object LlmVectors {
   private val cosSql =
     "list_inner_product(%s, %s) / sqrt(list_inner_product(%s, %s) * list_inner_product(%s, %s))"
 
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |               unnest(embedding) AS v FROM embeddings),
+       |cent AS (SELECT label, pos,
+       |           CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+       |         FROM flat GROUP BY label, pos),
+       |centarr AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+       |            FROM cent GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |assign AS (SELECT q_id, qv, c_label,
+       |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |               list_inner_product(qv, centroid)
+       |                 / sqrt(list_inner_product(qv, qv)
+       |                        * list_inner_product(centroid, centroid)) DESC,
+       |               c_label) AS rn
+       |           FROM q CROSS JOIN centarr),
+       |probes AS (SELECT q_id, qv, c_label AS probe_label FROM assign
+       |           WHERE rn <= $nprobe),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT p.q_id, e.vec_id,
+       |        list_inner_product(p.qv, e.v)
+       |          / sqrt(list_inner_product(p.qv, p.qv)
+       |                 * list_inner_product(e.v, e.v)) AS sim_raw
+       |      FROM probes p JOIN e ON e.label = p.probe_label
+       |       AND e.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, sim_raw,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
+       |FROM r WHERE rnk <= 3""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "llm_ann_ivf" ->
-      s"""WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
-         |               unnest(embedding) AS v FROM embeddings),
-         |cent AS (SELECT label, pos,
-         |           CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
-         |         FROM flat GROUP BY label, pos),
-         |centarr AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
-         |            FROM cent GROUP BY label),
-         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-         |      FROM embeddings WHERE vec_id < 10),
-         |assign AS (SELECT q_id, qv, c_label,
-         |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
-         |               list_inner_product(qv, centroid)
-         |                 / sqrt(list_inner_product(qv, qv)
-         |                        * list_inner_product(centroid, centroid)) DESC,
-         |               c_label) AS rn
-         |           FROM q CROSS JOIN centarr),
-         |probes AS (SELECT q_id, qv, c_label AS probe_label FROM assign WHERE rn = 1),
-         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s AS (SELECT p.q_id, e.vec_id,
-         |        list_inner_product(p.qv, e.v)
-         |          / sqrt(list_inner_product(p.qv, p.qv)
-         |                 * list_inner_product(e.v, e.v)) AS sim_raw
-         |      FROM probes p JOIN e ON e.label = p.probe_label
-         |       AND e.vec_id <> p.q_id),
-         |r AS (SELECT q_id, vec_id, sim_raw,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |             ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rnk
-         |      FROM s)
-         |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
-         |FROM r WHERE rnk <= 3""".stripMargin,
+    "llm_ann_ivf" -> ivfSql(1),
+    "llm_ann_ivf2" -> ivfSql(2),
     "llm_vector_norms" ->
       """SELECT vec_id,
         |  ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),

@@ -424,9 +424,61 @@ object Relational {
   def setopExcept(s: SparkSession, dir: String): DataFrame =
     sliceHighValue(s, dir).except(sliceUrgent(s, dir))
 
+  // ------------------------------------------------------ round-3 adds
+
+  /** The skew-salting operator ([[graft.operators.Salting]]) as a graded
+    * query: salting must be invisible in the result, so the oracle is
+    * the PLAIN join — any dup/loss from the salt handling breaks the
+    * hash compare. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_suppkey", "l_quantity")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    graft.operators.Salting.saltedEquiJoin(li, sup, "l_suppkey", "s_suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(dsum(d18(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Exact median + quartiles (interpolating percentile). Inputs are
+    * 2-decimal money, so interpolated values carry ≤4 decimals and the
+    * round(4) is representation-stabilizing, never midpoint-resolving. */
+  def aggMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("median(l_extendedprice)"), 4).as("med_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
+
+  /** percent_rank + cume_dist: both are single-division doubles of the
+    * same integers on either engine, so round(6) is safe. */
+  def winPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** Grouped list aggregation, emitted as a sorted comma-joined string:
+    * collect_list has no deterministic order under parallel execution,
+    * so the sort is part of the operator's contract (and what makes it
+    * oracle-comparable). */
+  def aggCollectList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(col("c_custkey"))),
+          x => x.cast("string")), ",").as("custkeys"))
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> (joinSalted _),
+    "agg_median" -> (aggMedian _),
+    "win_percent_rank" -> (winPercentRank _),
+    "agg_collect_list" -> (aggCollectList _),
     "q1_agg" -> (q1Agg _),
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_approx_cd" -> (aggApproxCd _),
@@ -474,6 +526,30 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+    "agg_median" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  ROUND(median(l_extendedprice), 4) AS med_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+        |                             ORDER BY o_totalprice), 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+        |                          ORDER BY o_totalprice), 6) AS cume
+        |FROM orders""".stripMargin,
+    "agg_collect_list" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_nationkey""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $sumQty AS sum_qty,

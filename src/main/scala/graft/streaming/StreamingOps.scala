@@ -90,6 +90,30 @@ object StreamingOps {
         date_format(col("hwm"), fmt).as("hwm_str"))
   }
 
+  /** Stream-stream interval join: each click joined to that user's
+    * errors in the following hour. In streaming both sides carry a
+    * watermark and the time-range condition bounds the state each side
+    * must hold (Structured Streaming prunes click state once the error
+    * watermark passes click_ts + 1h); the batch twin is a plain
+    * self-join on the identical predicate. */
+  def streamStreamJoin(e: DataFrame): DataFrame = {
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+    clicks.join(errors,
+        col("user_id") === col("err_user")
+          && col("error_ts") >= col("click_ts")
+          && col("error_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        date_format(col("click_ts"), fmt).as("click_time"),
+        date_format(col("error_ts"), fmt).as("error_time"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
@@ -98,7 +122,8 @@ object StreamingOps {
     "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
     "stream_session" -> ((s, d) => sessionized(ev(s, d))),
     "stream_dedup_first" -> ((s, d) => dedupFirstPerKey(ev(s, d))),
-    "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))))
+    "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))),
+    "stream_stream_join" -> ((s, d) => streamStreamJoin(ev(s, d))))
 
   // DuckDB twins over CAST(ts AS TIMESTAMP) (micros, matching Spark's
   // nanos→micros read).
@@ -150,5 +175,19 @@ object StreamingOps {
         |SELECT event_id, user_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |  strftime(hwm, '%Y-%m-%d %H:%M:%S') AS hwm_str
-        |FROM h WHERE ts < hwm - INTERVAL 10 MINUTE""".stripMargin)
+        |FROM h WHERE ts < hwm - INTERVAL 10 MINUTE""".stripMargin,
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |x AS (SELECT user_id AS err_user, event_id AS error_id,
+        |        ts AS error_ts
+        |      FROM e WHERE event_type = 'error')
+        |SELECT user_id, click_id, error_id,
+        |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |  strftime(error_ts, '%Y-%m-%d %H:%M:%S') AS error_time
+        |FROM c JOIN x ON user_id = err_user
+        | AND error_ts >= click_ts
+        | AND error_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin)
 }

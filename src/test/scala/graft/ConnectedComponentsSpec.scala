@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, and isolated pair each collapse to their min") {
+    val out = run(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (20L, 21L)))
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (log-round contraction, not diameter walks)") {
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val out = run(path)
+    assert(out.size == 41 && out.values.forall(_ == 0L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val out = run(Seq((5L, 5L), (6L, 7L), (7L, 6L), (6L, 7L)))
+    assert(out == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("matches the label-propagation clustering on fixture near-dups") {
+    val a = graft.queries.LlmText.queries("llm_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = graft.queries.LlmText.queries("llm_cc_altstar")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
