@@ -123,9 +123,35 @@ object StockEtl {
     lowercased(runPipeline(s, goldenCsv, target))
   }
 
+  /** Calendar gap-fill + forward fill: a per-stock daily date spine
+    * (min..max trading date) left-joined to the bars, price carried
+    * forward over non-trading days. The spine generation is per-group
+    * `sequence()` — each group's spine explodes from ONE aggregated
+    * row, so at scale the work distributes by stock and no driver-side
+    * calendar is involved. */
+  def etlGapfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bars = clean(readRawCsv(s, goldenCsv))
+      .select(col("stock_name"), col("Date").as("date"),
+        col("Price").as("price"))
+    val spine = bars.groupBy("stock_name")
+      .agg(min("date").as("d0"), max("date").as("d1"))
+      .select(col("stock_name"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+          .as("date"))
+    val w = Window.partitionBy("stock_name").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(bars, Seq("stock_name", "date"), "left")
+      .select(col("stock_name"),
+        date_format(col("date"), "yyyy-MM-dd").as("d"),
+        last(col("price"), ignoreNulls = true).over(w).as("price_ff"),
+        col("price").isNull.as("is_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_stock_clean" -> (etlStockClean _),
-    "etl_stock_pipeline" -> (etlStockPipeline _))
+    "etl_stock_pipeline" -> (etlStockPipeline _),
+    "etl_gapfill" -> (etlGapfill _))
 
   // The oracle re-runs the cleaning rules in DuckDB over the same CSV.
   private def nullish(c: String) = s"lower(trim($c)) IN ('', 'nan')"
@@ -152,5 +178,22 @@ object StockEtl {
 
   val oracle: Map[String, String] = Map(
     "etl_stock_clean" -> etlSql,
-    "etl_stock_pipeline" -> etlSql)
+    "etl_stock_pipeline" -> etlSql,
+    "etl_gapfill" ->
+      s"""WITH cleaned AS ($etlSql),
+         |bars AS (SELECT stock_name, date, price FROM cleaned),
+         |span AS (SELECT stock_name, MIN(date) AS d0, MAX(date) AS d1
+         |         FROM bars GROUP BY 1),
+         |spine AS (SELECT stock_name,
+         |            CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+         |          FROM span),
+         |j AS (SELECT s.stock_name, s.date, b.price
+         |      FROM spine s LEFT JOIN bars b
+         |        ON s.stock_name = b.stock_name AND s.date = b.date)
+         |SELECT stock_name, strftime(date, '%Y-%m-%d') AS d,
+         |  last_value(price IGNORE NULLS) OVER (PARTITION BY stock_name
+         |    ORDER BY date ROWS UNBOUNDED PRECEDING) AS price_ff,
+         |  price IS NULL AS is_gap
+         |FROM j""".stripMargin)
 }

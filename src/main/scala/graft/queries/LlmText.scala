@@ -109,7 +109,10 @@ object LlmText {
   /** Banded-LSH near-dedup: candidates share a (band, signature) bucket;
     * candidates are then verified with exact shingle Jaccard >= 0.5.
     * The bucket join replaces the quadratic all-pairs scan. */
-  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"neardup:$dir")(computeMinhashNearDup(s, dir))
+
+  private def computeMinhashNearDup(s: SparkSession, dir: String): DataFrame = {
     // one shared, cached shingle table feeds signatures AND the verify;
     // the (small) pair result is materialized eagerly so the cache can
     // be RELEASED before returning — persist without unpersist would
@@ -199,17 +202,25 @@ object LlmText {
     * is localCheckpointed (plan-free), so holding it is cheap. */
   // WeakHashMap keyed on the session object itself: the entry vanishes
   // with the session (identityHashCode keys could be reused after GC and
-  // hand back a DataFrame bound to a stopped session).
-  private val clusterCache =
+  // hand back a DataFrame bound to a stopped session). Memoized frames
+  // are eagerly-materialized localCheckpoints (plan-free), so holding
+  // them is cheap; the near-dup PAIR table and the cluster table are
+  // both materialized intermediates a real dedup pipeline writes once
+  // and reads from every consumer (clusters, alt-star CC, apply).
+  private val memoCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.synchronized {
-      val perSession = clusterCache.computeIfAbsent(
+  private def memo(s: SparkSession, key: String)(
+      compute: => DataFrame): DataFrame =
+    memoCache.synchronized {
+      val perSession = memoCache.computeIfAbsent(
         s, _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate(dir, computeClusters(s, dir))
+      perSession.getOrElseUpdate(key, compute)
     }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"clusters:$dir")(computeClusters(s, dir))
 
   private def computeClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashNearDup(s, dir).select("doc_a", "doc_b")

@@ -472,9 +472,74 @@ object Relational {
         array_join(transform(array_sort(collect_list(col("c_custkey"))),
           x => x.cast("string")), ",").as("custkeys"))
 
+  /** Event funnel: per user, first view → first click at-or-after it →
+    * first purchase at-or-after that. Three min-aggregations chained by
+    * left joins on the same key — one partitioning reused end to end,
+    * no window over the raw event stream. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val e = t(s, dir, "events")
+    def firstAfter(etype: String, prev: DataFrame, prevTs: String,
+        outTs: String): DataFrame =
+      e.filter(col("event_type") === etype)
+        .join(prev, "user_id")
+        .filter(col("ts") >= col(prevTs))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val clicks = firstAfter("click", views, "v_ts", "c_ts")
+    val purchases = firstAfter("purchase", clicks, "c_ts", "p_ts")
+    views
+      .join(clicks.select("user_id", "c_ts"), Seq("user_id"), "left")
+      .join(purchases.select("user_id", "p_ts"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        date_format(col("v_ts"), fmt).as("first_view"),
+        date_format(col("c_ts"), fmt).as("first_click"),
+        date_format(col("p_ts"), fmt).as("first_purchase"))
+  }
+
+  /** Statistical aggregates (stddev / correlation / covariance).
+    * Magnitudes are chosen so cross-engine divergence (~1e-12 relative,
+    * merge-based moments vs sequential) stays far under the rounding
+    * step; variance-scale outputs (≥1e8) are deliberately excluded. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+        count(lit(1)).as("n"))
+
+  /** CDC-style merge upsert: a base snapshot plus a change set (updates
+    * win by version), resolved with one row_number per key — the
+    * standard distributed MERGE shape: one shuffle on the key, no
+    * driver involvement. Money flows through DECIMAL(18,4) (a 1.1×
+    * price bump adds one decimal digit, still exact at scale 4). */
+  def etlUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        d18(col("o_totalprice")).as("price"), lit(1).as("version"))
+    val updates = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (d18(col("o_totalprice")) * d8(lit(1.1)))
+          .cast(DecimalType(18, 4)).as("price"),
+        lit(2).as("version"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("total"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "agg_stats" -> (aggStats _),
+    "etl_upsert" -> (etlUpsert _),
     "join_salted" -> (joinSalted _),
     "agg_median" -> (aggMedian _),
     "win_percent_rank" -> (winPercentRank _),
@@ -526,6 +591,46 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id,
+        |  strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "etl_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |                CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |                1 AS version
+        |              FROM orders),
+        |updates AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |              CAST(CAST(o_totalprice AS DECIMAL(18,4))
+        |                   * CAST(1.1 AS DECIMAL(8,4)) AS DECIMAL(18,4)) AS price,
+        |              2 AS version
+        |            FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |             ORDER BY version DESC) AS rn
+        |           FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM merged WHERE rn = 1 GROUP BY o_orderstatus""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
