@@ -148,10 +148,29 @@ object StockEtl {
         col("price").isNull.as("is_gap"))
   }
 
+  /** Per-stock data-quality profile of the cleaned table: row counts,
+    * null counts per typed column, date span, price range. The check a
+    * warehouse load runs right after the reference's post-load
+    * row-count verification (dump_bigq.py:148-149), generalized to
+    * column-level quality. */
+  def etlProfile(s: SparkSession, dir: String): DataFrame =
+    clean(readRawCsv(s, goldenCsv))
+      .groupBy("stock_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("Price").isNull.cast("long")).as("null_price"),
+        sum(col("Vol").isNull.cast("long")).as("null_vol"),
+        sum(col("Change").isNull.cast("long")).as("null_change"),
+        date_format(min(col("Date")), "yyyy-MM-dd").as("d_min"),
+        date_format(max(col("Date")), "yyyy-MM-dd").as("d_max"),
+        min(col("Price")).as("price_min"),
+        max(col("Price")).as("price_max"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_stock_clean" -> (etlStockClean _),
     "etl_stock_pipeline" -> (etlStockPipeline _),
-    "etl_gapfill" -> (etlGapfill _))
+    "etl_gapfill" -> (etlGapfill _),
+    "etl_profile" -> (etlProfile _))
 
   // The oracle re-runs the cleaning rules in DuckDB over the same CSV.
   private def nullish(c: String) = s"lower(trim($c)) IN ('', 'nan')"
@@ -179,6 +198,17 @@ object StockEtl {
   val oracle: Map[String, String] = Map(
     "etl_stock_clean" -> etlSql,
     "etl_stock_pipeline" -> etlSql,
+    "etl_profile" ->
+      s"""WITH cleaned AS ($etlSql)
+         |SELECT stock_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+         |  CAST(SUM(CASE WHEN vol IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_vol,
+         |  CAST(SUM(CASE WHEN change IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_change,
+         |  strftime(MIN(date), '%Y-%m-%d') AS d_min,
+         |  strftime(MAX(date), '%Y-%m-%d') AS d_max,
+         |  MIN(price) AS price_min,
+         |  MAX(price) AS price_max
+         |FROM cleaned GROUP BY stock_name""".stripMargin,
     "etl_gapfill" ->
       s"""WITH cleaned AS ($etlSql),
          |bars AS (SELECT stock_name, date, price FROM cleaned),

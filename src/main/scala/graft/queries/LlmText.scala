@@ -375,6 +375,32 @@ object LlmText {
         sum(col("n_tokens")).as("tokens_used"))
   }
 
+  /** Deterministic train/val/test split (80/10/10) from the md5-derived
+    * uniform — the reproducible alternative to rand()-based splits, and
+    * stable under re-runs/retries because the assignment is pure row
+    * content. Reported as per-(source, split) counts + char volume. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(detU < 0.8, "train").when(detU < 0.9, "val")
+          .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+
+  /** Corpus vocabulary: top-40 terms by document frequency (df), rank
+    * tie-broken lexically. The df table is the one corpus-wide shuffle;
+    * the top-k is a single ordered limit on the (small) term table. */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("df").desc, col("term"))
+    docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 40)
+  }
+
   /** 32-bit tf-weighted SimHash from md5 bits: per (doc, bit) majority
     * vote over token occurrences, assembled with shifts. Two narrow
     * aggregations — no per-doc state beyond 32 counters. */
@@ -480,6 +506,8 @@ object LlmText {
     "llm_cc_altstar" -> (ccAltStar _),
     "llm_tfidf" -> (tfidf _),
     "text_pii_mask" -> (piiMask _),
+    "llm_stratified_split" -> (stratifiedSplit _),
+    "llm_vocab" -> (vocab _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
     "text_tokens" -> (textTokens _),
@@ -583,6 +611,23 @@ object LlmText {
         |      FROM sc)
         |SELECT doc_id, rnk, term, tf, ROUND(tfidf_raw, 4) AS tfidf
         |FROM r WHERE rnk <= 3""".stripMargin,
+    "llm_stratified_split" ->
+      s"""WITH d AS (SELECT source, n_chars, $uSql AS u FROM documents)
+         |SELECT source,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM d GROUP BY 1, 2""".stripMargin,
+    "llm_vocab" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |               unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+        |r AS (SELECT term, df,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank
+        |      FROM df)
+        |SELECT term, df, rank FROM r WHERE rank <= 40""".stripMargin,
     "text_pii_mask" ->
       """SELECT event_id,
         |  regexp_replace(

@@ -534,9 +534,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("price")).as("total"))
   }
 
+  /** Fixed-width histogram via an arithmetic bucket id (floor of a
+    * single double division — identical on any engine, unlike
+    * width_bucket variants). One map-side-combining aggregation. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> (aggHistogram _),
     "events_funnel" -> (eventsFunnel _),
     "agg_stats" -> (aggStats _),
     "etl_upsert" -> (etlUpsert _),
@@ -591,6 +601,10 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),
