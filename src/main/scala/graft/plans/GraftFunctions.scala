@@ -28,6 +28,23 @@ object GraftFunctions {
         }
         BitmapDistinct(exprs(0), mk).toAggregateExpression()
       }, "built-in")
+    registry.createOrReplaceTempFunction(
+      "cms_estimate", exprs => {
+        require(exprs.length == 4,
+          "cms_estimate(key, probe, depth, width) takes exactly 4 arguments")
+        val lits = exprs.drop(1).zip(Seq("probe", "depth", "width")).map {
+          case (e, name) =>
+            require(e.foldable,
+              s"cms_estimate $name must be a literal, got: ${e.sql}")
+            e.eval() match {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"cms_estimate $name must be numeric, got $other")
+            }
+        }
+        CountMinSketch(exprs(0), lits(0), lits(1).toInt, lits(2).toInt)
+          .toAggregateExpression()
+      }, "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -543,9 +543,35 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Count-min sketch frequency estimates ([[graft.plans.CountMinSketch]],
+    * a native TypedImperativeAggregate): bounds-checked like the other
+    * sketch queries — the estimate must sit in [exact, exact + 8·N/width]
+    * (CMS guarantees overestimate-only; the margin is ~8× the expected
+    * collision mass, far above the e^-depth tail). Oracle emits the
+    * exact counts plus literal TRUE. */
+  def aggCms(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_cms_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q1,
+        |  CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q25,
+        |  (cms_estimate(CAST(l_quantity AS BIGINT), 1, 4, 2048)
+        |     >= SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END)
+        |   AND cms_estimate(CAST(l_quantity AS BIGINT), 1, 4, 2048)
+        |     <= SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) + 8.0 * COUNT(*) / 2048
+        |   AND cms_estimate(CAST(l_quantity AS BIGINT), 25, 4, 2048)
+        |     >= SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END)
+        |   AND cms_estimate(CAST(l_quantity AS BIGINT), 25, 4, 2048)
+        |     <= SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) + 8.0 * COUNT(*) / 2048)
+        |    AS cms_ok
+        |FROM graft_cms_lineitem GROUP BY l_returnflag""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cms" -> (aggCms _),
     "agg_histogram" -> (aggHistogram _),
     "events_funnel" -> (eventsFunnel _),
     "agg_stats" -> (aggStats _),
@@ -601,6 +627,12 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "agg_cms" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q1,
+        |  CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q25,
+        |  TRUE AS cms_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n

@@ -114,6 +114,19 @@ object StreamingOps {
         date_format(col("error_ts"), fmt).as("error_time"))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customers), then aggregated per nation. In streaming
+    * the static side is (re)broadcast per micro-batch — no state, no
+    * watermark needed on the dim; exactly the plan to want at scale
+    * (dim broadcast, fact streams). Money-style sums go through
+    * DECIMAL(18,4) per the determinism rules. */
+  def streamStaticJoin(e: DataFrame, customers: DataFrame): DataFrame =
+    e.join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        e("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
@@ -123,7 +136,9 @@ object StreamingOps {
     "stream_session" -> ((s, d) => sessionized(ev(s, d))),
     "stream_dedup_first" -> ((s, d) => dedupFirstPerKey(ev(s, d))),
     "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))),
-    "stream_stream_join" -> ((s, d) => streamStreamJoin(ev(s, d))))
+    "stream_stream_join" -> ((s, d) => streamStreamJoin(ev(s, d))),
+    "stream_static_join" -> ((s, d) =>
+      streamStaticJoin(ev(s, d), Tables.load(s, d, "customer"))))
 
   // DuckDB twins over CAST(ts AS TIMESTAMP) (micros, matching Spark's
   // nanos→micros read).
@@ -189,5 +204,10 @@ object StreamingOps {
         |  strftime(error_ts, '%Y-%m-%d %H:%M:%S') AS error_time
         |FROM c JOIN x ON user_id = err_user
         | AND error_ts >= click_ts
-        | AND error_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin)
+        | AND error_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey""".stripMargin)
 }
