@@ -50,6 +50,11 @@ object ConnectedComponents {
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
+    // Small graphs collapse to one partition: each star round is two
+    // shuffles, and on a tiny edge set the rounds are pure scheduling
+    // overhead across 32 partitions. Big graphs keep the distributed
+    // layout (same adaptive layout as the label-propagation loop).
+    if (e.count() < 100000) e = e.coalesce(1).localCheckpoint(eager = true)
     var prevSum = BigDecimal(-1)
     var converged = e.isEmpty
     var iter = 0
