@@ -375,6 +375,47 @@ object LlmText {
         sum(col("n_tokens")).as("tokens_used"))
   }
 
+  /** Decontamination: test-split documents sharing ≥1 word-3-gram with
+    * any train-split document (the train/test assignment is the same
+    * md5-derived split as [[stratifiedSplit]]). The overlap check is an
+    * equi-join on int64 shingle hashes — train-side state is a
+    * distinct (shingle → present) set, so at 100 TB this is the
+    * standard bloom/semi-join decontamination shape, never a doc×doc
+    * comparison. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val withSplit = docs(s, dir)
+      .withColumn("split",
+        when(detU < 0.8, "train").when(detU < 0.9, "val").otherwise("test"))
+    val sh = withSplit
+      .repartition(fanout(s))
+      .select(col("doc_id"), col("split"),
+        explode(shingles(toks(col("text")))).as("sh"))
+      .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("h"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select("h").distinct()
+    sh.filter(col("split") === "test")
+      .select("doc_id", "h").distinct()
+      .join(trainSh, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Corpus length-percentile quality gate: keep docs whose n_chars is
+    * within [p5, p95] of the corpus distribution. The thresholds are
+    * ONE tiny aggregate broadcast against the corpus — no per-row
+    * subquery. Reported as pass/fail counts so the output is stable. */
+  def lengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val bounds = docs(s, dir).agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs(s, dir).crossJoin(broadcast(bounds))
+      .select(col("source"),
+        (col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+          .as("keep"))
+      .groupBy("source", "keep")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Deterministic train/val/test split (80/10/10) from the md5-derived
     * uniform — the reproducible alternative to rand()-based splits, and
     * stable under re-runs/retries because the assignment is pure row
@@ -508,6 +549,8 @@ object LlmText {
     "text_pii_mask" -> (piiMask _),
     "llm_stratified_split" -> (stratifiedSplit _),
     "llm_vocab" -> (vocab _),
+    "llm_decontaminate" -> (decontaminate _),
+    "llm_length_filter" -> (lengthFilter _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
     "text_tokens" -> (textTokens _),
@@ -619,6 +662,31 @@ object LlmText {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM d GROUP BY 1, 2""".stripMargin,
+    // the oracle joins on the shingle STRINGS; the engine joins on their
+    // xxhash64 — equivalent counts absent 2^-64 collisions
+    "llm_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, text, $uSql AS u FROM documents),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         string_split(text, ' ') AS t
+         |       FROM d),
+         |sh AS (SELECT DISTINCT doc_id, split,
+         |         unnest(list_transform(range(greatest(len(t) - 2, 0)),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+         |       FROM sp),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train')
+         |SELECT s.doc_id, COUNT(*) AS n_overlap
+         |FROM sh s JOIN tr ON s.sh = tr.sh
+         |WHERE s.split = 'test'
+         |GROUP BY s.doc_id""".stripMargin,
+    "llm_length_filter" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |             quantile_cont(n_chars, 0.95) AS hi FROM documents)
+        |SELECT source, (n_chars >= lo AND n_chars <= hi) AS keep,
+        |  COUNT(*) AS n_docs
+        |FROM documents CROSS JOIN b
+        |GROUP BY 1, 2""".stripMargin,
     "llm_vocab" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
         |               unnest(string_split(text, ' ')) AS term
