@@ -63,6 +63,24 @@ object Scalars {
       ceil(col("l_quantity")).cast("long").as("ceil_qty"),
       round(pow(col("l_quantity"), 2), 4).as("qty_sq"))
 
+  /** Bit ops, trig, sign, greatest/least — the long tail of scalar
+    * coverage. Trig outputs are irrational, so a round(6) can never sit
+    * on a midpoint; bit ops are exact integers. */
+  def scalarMisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_orderkey").bitwiseAND(lit(255L))).as("key_and"),
+      (col("l_orderkey").bitwiseOR(col("l_linenumber"))).as("key_or"),
+      (col("l_orderkey").bitwiseXOR(col("l_linenumber"))).as("key_xor"),
+      shiftleft(col("l_linenumber"), 3).cast("long").as("ln_shl"),
+      round(sin(col("l_quantity")), 6).as("sin_qty"),
+      round(cos(col("l_quantity")), 6).as("cos_qty"),
+      round(atan2(col("l_quantity"), col("l_linenumber")), 6).as("atan2_ql"),
+      signum(col("l_discount") - col("l_tax")).cast("long").as("sign_dt"),
+      greatest(col("l_quantity"), col("l_linenumber").cast("double"))
+        .as("g_ql"),
+      least(col("l_discount"), col("l_tax")).as("l_dt"))
+
   /** when/otherwise, coalesce, nullif. */
   def scalarConditional(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
@@ -137,6 +155,7 @@ object Scalars {
     "scalar_string" -> (scalarString _),
     "scalar_date" -> (scalarDate _),
     "scalar_math" -> (scalarMath _),
+    "scalar_misc" -> (scalarMisc _),
     "scalar_conditional" -> (scalarConditional _),
     "json_extract" -> (jsonExtract _),
     "array_ops" -> (arrayOps _),
@@ -165,6 +184,19 @@ object Scalars {
         |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
         |  DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
         |FROM orders""".stripMargin,
+    "scalar_misc" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS key_and,
+        |  l_orderkey | l_linenumber AS key_or,
+        |  xor(l_orderkey, l_linenumber) AS key_xor,
+        |  CAST(l_linenumber << 3 AS BIGINT) AS ln_shl,
+        |  ROUND(SIN(l_quantity), 6) AS sin_qty,
+        |  ROUND(COS(l_quantity), 6) AS cos_qty,
+        |  ROUND(ATAN2(l_quantity, l_linenumber), 6) AS atan2_ql,
+        |  CAST(SIGN(l_discount - l_tax) AS BIGINT) AS sign_dt,
+        |  GREATEST(l_quantity, CAST(l_linenumber AS DOUBLE)) AS g_ql,
+        |  LEAST(l_discount, l_tax) AS l_dt
+        |FROM lineitem""".stripMargin,
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) AS DOUBLE) AS net,

@@ -31,6 +31,31 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(out == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("matches a reference union-find on 12 random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 12) {
+      val nNodes = rnd.nextInt(30) + 2
+      val nEdges = rnd.nextInt(50) + 1
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // reference: in-memory union-find with min-label roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = run(edges)
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
   test("matches the label-propagation clustering on fixture near-dups") {
     val a = graft.queries.LlmText.queries("llm_dedup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
