@@ -85,6 +85,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming aggregate equals the batch query") {
+    import org.apache.spark.sql.functions._
+    val customers = graft.core.Tables.load(spark, sf, "customer")
+    val streamed = StreamingOps.streamStaticJoin(
+      StreamingOps.eventsStream(spark, sf), customers)
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_ss_static").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Number]("c_nationkey").longValue,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))
+      val got = spark.table("graft_ss_static").collect().map(key).toSet
+      val want = StreamingOps.queries("stream_static_join")(spark, sf)
+        .collect().map(key).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows: append-mode emissions are a subset of batch sessions") {
     val q = StreamingOps.sessionized(StreamingOps.eventsStream(spark, sf))
       .writeStream.outputMode("append")
