@@ -99,6 +99,30 @@ object Multimodal {
         round(element_at(col("features"), 8).cast("double")
           / col("nBytes"), 6).as("bin7"))
 
+  /** Resize (downsample) by stride decimation — the nearest-neighbor
+    * resize analogue on an opaque blob: keep every `factor`-th byte.
+    * Same mapPartitions batch shape as the decode; the blob never
+    * shuffles (the query projects size + checksum, not the bytes). */
+  def resize(media: Dataset[MediaRow], factor: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.content.length
+        val out = new Array[Byte]((n + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.content(i * factor); i += 1 }
+        var sum = 0L
+        out.foreach(b => sum += (b & 0xff))
+        (r.media_id, n.toLong, out.length.toLong, sum)
+      }
+    }.toDF("media_id", "n_bytes_in", "n_bytes_out", "byte_sum")
+  }
+
+  /** Graded query: 4× downsample, verified via size + byte checksum. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    resize(mediaFromDocuments(s, dir), factor = 4)
+
   /** Graded query: frame sampling shape over the blob column. */
   def mmFrameSample(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocuments(s, dir), frameSize = 32, stride = 4)
@@ -108,7 +132,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _))
 
   val oracle: Map[String, String] = Map(
     // ASCII text ⇒ byte value == char code; histogram bin b counts
@@ -125,6 +150,16 @@ object Multimodal {
         |  ROUND(len(list_filter(range(length(text)),
         |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 7))
         |    / CAST(length(text) AS DOUBLE), 6) AS bin7
+        |FROM documents""".stripMargin,
+    // ASCII ⇒ byte i == char code at position i; every 4th char kept
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  length(text) AS n_bytes_in,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bytes_out,
+        |  CAST(list_sum(list_transform(
+        |    list_filter(range(length(text)), i -> i % 4 = 0),
+        |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT)
+        |    AS byte_sum
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

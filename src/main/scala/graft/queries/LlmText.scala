@@ -330,6 +330,22 @@ object LlmText {
         .as("n_redacted"))
   }
 
+  /** Dedup impact report: per source, corpus size before/after the
+    * near-dup cluster dedup — the summary a pipeline run logs. Reads
+    * the memoized cluster table, so it shares work with the other
+    * dedup queries. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupClusters(s, dir)
+      .filter(!col("is_keeper")).select("doc_id")
+      .withColumn("is_dropped", lit(true))
+    docs(s, dir)
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dropped"), 0L).otherwise(1L)).as("n_kept"))
+  }
+
   /** Deterministic uniform in [0,1) from the first 4 hex digits of
     * md5(doc_id) — reproducible in the oracle, unlike rand(). */
   private val detU: Column = {
@@ -551,6 +567,7 @@ object LlmText {
     "llm_vocab" -> (vocab _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_length_filter" -> (lengthFilter _),
+    "llm_dedup_stats" -> (dedupStats _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
     "text_tokens" -> (textTokens _),
@@ -638,6 +655,18 @@ object LlmText {
     // the oracle is the same recursive-reachability SQL
     "llm_cc_altstar" -> dedupClustersSql,
     "llm_dedup_apply" -> dedupApplySql,
+    "llm_dedup_stats" -> {
+      val prefix = dedupClustersSql.substring(0,
+        dedupClustersSql.indexOf("SELECT node AS doc_id"))
+      prefix.trim + ",\n" +
+        """dropped AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node)
+          |SELECT d.source, COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN d.doc_id IN (SELECT node FROM dropped)
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          |  CAST(SUM(CASE WHEN d.doc_id IN (SELECT node FROM dropped)
+          |           THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+          |FROM documents d GROUP BY d.source""".stripMargin
+    },
     "llm_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),
