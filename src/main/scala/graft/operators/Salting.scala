@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   * available (e.g., the skewed side is below AQE's partition-size
   * threshold but a single key still dominates a reducer, or the join
   * is dim-exploded deliberately). The salt is derived from stable row
-  * content (xxhash64 of the fact's key + a second column) so the
-  * placement is deterministic run-to-run.
+  * content (xxhash64 over every fact column) so the placement is
+  * deterministic run-to-run — and retry-safe, which a
+  * spark_partition_id()/monotonically_increasing_id() salt is not.
+  *
+  * Caveat: pass the fact frame with at least one column BEYOND the
+  * join key that varies within a hot key's rows — salting a frame
+  * projected down to only the key gives every row of a key the same
+  * salt (deterministic but spread-free). Fully identical duplicate
+  * rows likewise share a salt and co-locate; that is inherent to any
+  * content-derived (retry-safe) salt.
   */
 object Salting {
 

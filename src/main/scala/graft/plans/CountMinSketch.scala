@@ -49,13 +49,15 @@ case class CountMinSketch(
       s"cms_estimate requires an integral key, got $t")
   }
 
-  // Mersenne prime 2^61-1; fixed per-row odd multipliers/offsets keep
-  // the sketch deterministic run-to-run (no Random seeds).
+  // Mersenne prime 2^61-1; fixed PER-ROW odd multipliers keep the rows'
+  // collision patterns independent of each other (a shared multiplier
+  // would give every row the same pairwise key difference) while the
+  // whole sketch stays deterministic run-to-run (no Random seeds).
   private val P = (1L << 61) - 1
   private def slot(d: Int, k: Long): Int = {
-    val a = 0x9e3779b97f4a7c15L | 1L
+    val a = (0x9e3779b97f4a7c15L | 1L) * (2 * d + 1)
     val b = 0xc2b2ae3d27d4eb4fL
-    val mixed = java.lang.Math.floorMod((a * (k + d)) + (b >>> d), P)
+    val mixed = java.lang.Math.floorMod(a * k + (b >>> d), P)
     (mixed % width).toInt
   }
 
