@@ -543,6 +543,26 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Keyless point-in-interval join ([[graft.operators.IntervalJoin]]):
+    * every event falling inside any error's 15-minute incident window,
+    * across ALL users — no equi key exists, so the operator
+    * manufactures one (time buckets) instead of letting Spark plan a
+    * nested-loop. Oracle: the plain theta join (DuckDB plans it as an
+    * IEJoin). */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val wins = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+    val pts = e.select(col("event_id").as("pt_id"), col("ts").as("pt_ts"),
+      col("event_type"))
+    graft.operators.IntervalJoin
+      .pointInInterval(pts, wins, "pt_ts", "lo", "hi", widthSec = 900)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("pt_id")).as("n_events"))
+  }
+
   /** Count-min sketch frequency estimates ([[graft.plans.CountMinSketch]],
     * a native TypedImperativeAggregate): bounds-checked like the other
     * sketch queries — the estimate must sit in [exact, exact + 8·N/width]
@@ -573,6 +593,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cms" -> (aggCms _),
     "agg_histogram" -> (aggHistogram _),
+    "join_interval" -> (joinInterval _),
     "events_funnel" -> (eventsFunnel _),
     "agg_stats" -> (aggStats _),
     "etl_upsert" -> (etlUpsert _),
@@ -633,6 +654,15 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q25,
         |  TRUE AS cms_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "join_interval" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |w AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+        |      FROM e WHERE event_type = 'error')
+        |SELECT e.event_type, COUNT(*) AS n_hits,
+        |  COUNT(DISTINCT e.event_id) AS n_events
+        |FROM e JOIN w ON e.ts >= w.lo AND e.ts < w.hi
+        |GROUP BY 1""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n
