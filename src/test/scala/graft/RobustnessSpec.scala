@@ -48,4 +48,30 @@ class RobustnessSpec extends SparkTestBase {
     val n2 = spark.read.parquet(s"$base/out").count()
     assert(n1 > 0 && n2 == n1, s"expected exactly-once, got $n1 then $n2")
   }
+
+  test("foreachBatch + checkpoint: committed batches are not redelivered") {
+    val base = Files.createTempDirectory("graft_feb_ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def runOnce(): Unit = {
+      val q = StreamingOps.eventsStream(spark, sf)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the merge/upsert hook point in production; here we record
+          // (batchId, rows) to observe redelivery
+          seen += ((id, df.count())); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val rows1 = seen.map(_._2).sum
+    assert(rows1 > 0)
+    // same checkpoint, unchanged source: a restart must deliver no
+    // already-committed data to foreachBatch
+    runOnce()
+    assert(seen.map(_._2).sum == rows1,
+      s"foreachBatch redelivered committed rows: $seen")
+  }
 }
