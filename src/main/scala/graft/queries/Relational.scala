@@ -543,6 +543,35 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Windows long tail: nth_value over a running frame and lag/lead
+    * with explicit defaults. Values are copied, never computed, so no
+    * rounding is involved. */
+  def winMisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      nth_value(col("o_totalprice"), 3).over(running).as("nth3"),
+      lag(col("o_totalprice"), 2, -1.0).over(w).as("lag2_dflt"),
+      lead(col("o_totalprice"), 2, -1.0).over(w).as("lead2_dflt"))
+  }
+
+  /** Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
+    * counts (bag semantics), unlike their DISTINCT counterparts. */
+  def setopMultiset(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_returnflag"))
+    val b = t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_suppkey"), col("l_returnflag"))
+    a.exceptAll(b)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_except_all"))
+      .join(
+        a.intersectAll(b).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_intersect_all")),
+        Seq("l_returnflag"), "full")
+  }
+
   /** Keyless point-in-interval join ([[graft.operators.IntervalJoin]]):
     * every event falling inside any error's 15-minute incident window,
     * across ALL users — no equi key exists, so the operator
@@ -594,6 +623,8 @@ object Relational {
     "agg_cms" -> (aggCms _),
     "agg_histogram" -> (aggHistogram _),
     "join_interval" -> (joinInterval _),
+    "win_misc" -> (winMisc _),
+    "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "agg_stats" -> (aggStats _),
     "etl_upsert" -> (etlUpsert _),
@@ -654,6 +685,28 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q25,
         |  TRUE AS cms_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "win_misc" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS nth3,
+        |  lag(o_totalprice, 2, -1.0) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey) AS lag2_dflt,
+        |  lead(o_totalprice, 2, -1.0) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey) AS lead2_dflt
+        |FROM orders""".stripMargin,
+    "setop_multiset" ->
+      """WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem),
+        |b AS (SELECT l_suppkey, l_returnflag FROM lineitem
+        |      WHERE l_quantity > 25),
+        |ex AS (SELECT l_returnflag, COUNT(*) AS n_except_all
+        |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |       GROUP BY 1),
+        |ix AS (SELECT l_returnflag, COUNT(*) AS n_intersect_all
+        |       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |       GROUP BY 1)
+        |SELECT COALESCE(ex.l_returnflag, ix.l_returnflag) AS l_returnflag,
+        |  n_except_all, n_intersect_all
+        |FROM ex FULL JOIN ix ON ex.l_returnflag = ix.l_returnflag""".stripMargin,
     "join_interval" ->
       """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),
