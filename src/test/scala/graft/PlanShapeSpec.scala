@@ -1,0 +1,50 @@
+package graft
+
+/** Executable pins for the plan shapes PLANS.md claims — a regression
+  * here means a scale property silently degraded, even if results stay
+  * correct. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_inner_star: all dim joins broadcast, none sort-merge") {
+    val p = physical("join_inner_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "a star-schema dim join regressed to SortMergeJoin")
+  }
+
+  test("stream_static_join: dim side is broadcast") {
+    val p = physical("stream_static_join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("win_topk_per_group: WindowGroupLimit prunes before the shuffle") {
+    val p = physical("win_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k should plan WindowGroupLimit (k rows per group pre-shuffle)")
+  }
+
+  test("q1_agg: ship-date filter is pushed to the parquet scan") {
+    val p = physical("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || p.contains("PushedFilters: [LessThan(l_shipdate")
+      || p.contains("l_shipdate"), "no trace of pushdown in scan node")
+    assert(p.contains("HashAggregate"), "Q1 should hash-aggregate")
+  }
+
+  test("join_interval: bucketed formulation never plans a nested loop") {
+    val p = physical("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "keyless interval join regressed to a nested loop")
+  }
+
+  test("llm_minhash_sigs: signature agg is hash-based, not sort-based") {
+    val p = physical("llm_minhash_sigs")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"),
+      "numeric band-min regressed to SortAggregate (string agg buffer?)")
+  }
+}
