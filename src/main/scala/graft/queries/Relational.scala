@@ -30,6 +30,15 @@ object Relational {
   private def d8(c: Column): Column = c.cast(DecimalType(8, 4))
   private def dsum(c: Column): Column = sum(c).cast(DoubleType)
 
+  /** For sums whose decimal SCALE×magnitude pushes the unscaled value
+    * past 2^53 (product sums at scale 8/12 over 1e9+ totals): round the
+    * DECIMAL to 2 first. DuckDB's wide-decimal→double conversion is not
+    * correctly rounded there (1 ulp off Java's BigDecimal.doubleValue,
+    * observed at sf0.1 on sum_charge/revenue); a 2-decimal value
+    * converts identically in both engines. */
+  private def dsum2(c: Column): Column =
+    round(sum(c), 2).cast(DoubleType)
+
   // ---------------------------------------------------------------- aggs
 
   /** TPC-H Q1-shape pricing summary (SURVEY §2B Aggregation). */
@@ -38,14 +47,14 @@ object Relational {
       .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(d18(col("l_quantity"))).as("sum_qty"),
-        dsum(d18(col("l_extendedprice"))).as("sum_base_price"),
-        dsum(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+        dsum2(d18(col("l_quantity"))).as("sum_qty"),
+        dsum2(d18(col("l_extendedprice"))).as("sum_base_price"),
+        dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        dsum(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount"))
+        dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount"))
           * d8(lit(1) + col("l_tax"))).as("sum_charge"),
-        round(dsum(d18(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
-        round(dsum(d18(col("l_extendedprice"))) / count(lit(1)), 4).as("avg_price"),
+        round(dsum2(d18(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
+        round(dsum2(d18(col("l_extendedprice"))) / count(lit(1)), 4).as("avg_price"),
         round(dsum(d18(col("l_discount"))) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
@@ -161,7 +170,7 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name")
       .agg(
-        dsum(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+        dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_items"))
   }
@@ -305,10 +314,15 @@ object Relational {
       .distinct()
   }
 
-  /** Cumulative per-supplier shipped quantity. */
+  /** Cumulative per-supplier shipped quantity. The window order carries
+    * l_quantity as the final tiebreak: the synthetic fixture contains
+    * duplicate (suppkey, shipdate, orderkey, linenumber) rows with
+    * DIFFERENT quantities, and without a total order the running sum's
+    * value assignment at the tie is engine-dependent. */
   def winCumSum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, 0)
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
@@ -671,12 +685,20 @@ object Relational {
   // DuckDB oracle twins. Column names and value canonicalization match
   // the Spark side exactly (decimal-exact sums, round(…,4), string-
   // formatted timestamps).
-  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
-  private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+  //
+  // Sums are ROUNDED IN DECIMAL (to 2) before the double cast: DuckDB's
+  // wide-decimal → double conversion is not correctly rounded (it can be
+  // 1 ulp off Java's BigDecimal.doubleValue at 10+ significant digits,
+  // observed on sum_charge ~4.6e9 scale-12 at sf0.1); a 2-decimal value
+  // at that magnitude converts exactly the same way in both engines.
+  private val sumQty =
+    "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)"
+  private val sumPrice =
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)"
   private val sumDisc =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)"
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)"
   private val sumCharge =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE)"
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
     "agg_cms" ->
@@ -936,7 +958,7 @@ object Relational {
     "win_cumsum" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey,
         |  ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS UNBOUNDED PRECEDING), 4) AS cum_qty
         |FROM lineitem""".stripMargin,
     "win_rank" ->
