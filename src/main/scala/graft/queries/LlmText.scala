@@ -346,6 +346,43 @@ object LlmText {
         sum(when(col("is_dropped"), 0L).otherwise(1L)).as("n_kept"))
   }
 
+  /** Repetition-based quality signal (Gopher-style): the fraction of a
+    * doc's word-3-grams that are duplicates (1 − distinct/total) —
+    * high values mark template/spam text. Pure per-row array math, no
+    * shuffle. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(toks(col("text")))
+    docs(s, dir).repartition(fanout(s)).select(
+      col("doc_id"),
+      size(sh).cast("long").as("n_shingles"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"),
+      when(size(sh) > 0,
+        round(lit(1.0) - size(array_distinct(sh)) / size(sh).cast("double"), 6))
+        .otherwise(0.0).as("rep_ratio"))
+  }
+
+  /** Sequence packing: greedily pack docs into fixed token-budget
+    * training sequences, per source, in deterministic md5 order —
+    * pack_id = floor(running-token-count-before / budget). One window
+    * per stratum; at 100 TB each source packs independently and the
+    * running sum is constant state. Docs longer than the budget get a
+    * pack to themselves (the floor assignment handles this naturally). */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / budget).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"))
+  }
+
   /** Deterministic uniform in [0,1) from the first 4 hex digits of
     * md5(doc_id) — reproducible in the oracle, unlike rand(). */
   private val detU: Column = {
@@ -568,6 +605,8 @@ object LlmText {
     "llm_decontaminate" -> (decontaminate _),
     "llm_length_filter" -> (lengthFilter _),
     "llm_dedup_stats" -> (dedupStats _),
+    "text_repetition" -> (textRepetition _),
+    "llm_seq_pack" -> (seqPack _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
     "text_tokens" -> (textTokens _),
@@ -683,6 +722,30 @@ object LlmText {
         |      FROM sc)
         |SELECT doc_id, rnk, term, tf, ROUND(tfidf_raw, 4) AS tfidf
         |FROM r WHERE rnk <= 3""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_transform(range(greatest(len(t) - 2, 0)),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS s
+        |       FROM d)
+        |SELECT doc_id, len(s) AS n_shingles,
+        |  len(list_distinct(s)) AS n_distinct,
+        |  CASE WHEN len(s) > 0
+        |       THEN ROUND(1.0 - len(list_distinct(s)) / CAST(len(s) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM sh""".stripMargin,
+    "llm_seq_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS tokens_before
+        |      FROM d)
+        |SELECT source, CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "llm_stratified_split" ->
       s"""WITH d AS (SELECT source, n_chars, $uSql AS u FROM documents)
          |SELECT source,
