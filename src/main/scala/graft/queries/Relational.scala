@@ -512,6 +512,24 @@ object Relational {
         date_format(col("p_ts"), fmt).as("first_purchase"))
   }
 
+  /** Cohort retention: users grouped by first-seen week, counted as
+    * active per subsequent week offset. Two aggregations and one join,
+    * all hash-partitioned by user — the standard distributed retention
+    * shape (no per-user window over raw events). */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firsts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    e.distinct()
+      .join(firsts, "user_id")
+      .select(col("user_id"),
+        date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Statistical aggregates (stddev / correlation / covariance).
     * Magnitudes are chosen so cross-engine divergence (~1e-12 relative,
     * merge-based moments vs sequential) stays far under the rounding
@@ -640,6 +658,7 @@ object Relational {
     "win_misc" -> (winMisc _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "agg_stats" -> (aggStats _),
     "etl_upsert" -> (etlUpsert _),
     "join_salted" -> (joinSalted _),
@@ -759,6 +778,16 @@ object Relational {
         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
