@@ -149,7 +149,30 @@ object LlmVectors {
         (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
         .as("norm2_hof"))
 
+  /** Recall evaluation of the approximate indexes against brute force:
+    * |approx ∩ exact top-3| / |exact top-3| per method — the metric a
+    * similarity-search deployment actually tracks. Composes the
+    * existing query pipelines; counts flow through tiny aggregates
+    * (no driver-side collection). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    def eval(method: String, approx: DataFrame): DataFrame = {
+      val hits = exact
+        .join(approx.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val total = exact.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(total).select(
+        lit(method).as("method"), col("n_hits"), col("n_exact"),
+        round(col("n_hits") / col("n_exact").cast("double"), 4).as("recall"))
+    }
+    eval("lsh", annLsh(s, dir))
+      .unionByName(eval("ivf", annIvf(s, dir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_recall" -> (annRecall _),
     "llm_vector_norms" -> (vectorNorms _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf2" -> (annIvf2 _),
@@ -205,6 +228,63 @@ object LlmVectors {
        |FROM r WHERE rnk <= 3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // flattened single WITH list (DuckDB 1.0 rejects nested WITH in a
+    // derived table); exact/lsh/ivf pipelines share the e and q CTEs
+    "llm_ann_recall" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id < 10),
+         |xs AS (SELECT q_id, vec_id,
+         |         ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |       FROM q CROSS JOIN e WHERE vec_id <> q_id),
+         |xr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM xs),
+         |exact AS (SELECT q_id, vec_id FROM xr WHERE rnk <= 3),
+         |ls AS (SELECT q_id, vec_id,
+         |         ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |       FROM q JOIN e ON bkt = q_bkt AND vec_id <> q_id),
+         |lr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM ls),
+         |lsh AS (SELECT q_id, vec_id FROM lr WHERE rnk <= 3),
+         |iflat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |            unnest(embedding) AS v FROM embeddings),
+         |icent AS (SELECT label, pos,
+         |            CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+         |          FROM iflat GROUP BY label, pos),
+         |icarr AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |          FROM icent GROUP BY label),
+         |ia AS (SELECT q_id, qv, c_label,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |           ${cosSql.format("qv", "centroid", "qv", "qv", "centroid", "centroid")} DESC,
+         |           c_label) AS rn
+         |       FROM q CROSS JOIN icarr),
+         |ip AS (SELECT q_id, qv, c_label AS probe_label FROM ia WHERE rn <= 1),
+         |ie AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |isq AS (SELECT p.q_id, ie.vec_id,
+         |          ${cosSql.format("p.qv", "ie.v", "p.qv", "p.qv", "ie.v", "ie.v")} AS sim_raw
+         |        FROM ip p JOIN ie ON ie.label = p.probe_label
+         |         AND ie.vec_id <> p.q_id),
+         |ir AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM isq),
+         |ivf AS (SELECT q_id, vec_id FROM ir WHERE rnk <= 3),
+         |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
+         |SELECT 'lsh' AS method,
+         |  (SELECT COUNT(*) FROM exact JOIN lsh
+         |     ON exact.q_id = lsh.q_id AND exact.vec_id = lsh.vec_id) AS n_hits,
+         |  n_exact,
+         |  ROUND((SELECT COUNT(*) FROM exact JOIN lsh
+         |     ON exact.q_id = lsh.q_id AND exact.vec_id = lsh.vec_id)
+         |    / CAST(n_exact AS DOUBLE), 4) AS recall
+         |FROM ne
+         |UNION ALL
+         |SELECT 'ivf',
+         |  (SELECT COUNT(*) FROM exact JOIN ivf
+         |     ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id),
+         |  n_exact,
+         |  ROUND((SELECT COUNT(*) FROM exact JOIN ivf
+         |     ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id)
+         |    / CAST(n_exact AS DOUBLE), 4)
+         |FROM ne""".stripMargin,
     "llm_ann_ivf" -> ivfSql(1),
     "llm_ann_ivf2" -> ivfSql(2),
     "llm_vector_norms" ->

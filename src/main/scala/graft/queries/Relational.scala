@@ -512,6 +512,26 @@ object Relational {
         date_format(col("p_ts"), fmt).as("first_purchase"))
   }
 
+  /** Referential-integrity audit across the star schema: orphan counts
+    * per FK edge via left-anti joins — the warehouse-load health check
+    * beside [[graft.etl.StockEtl.etlProfile]]'s column profile. */
+  def etlIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, parent: DataFrame,
+        ck: String, pk: String): DataFrame =
+      child.select(col(ck)).join(parent.select(col(pk)),
+          col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    orphans("lineitem->orders", t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey")
+      .unionByName(orphans("orders->customer", t(s, dir, "orders"),
+        t(s, dir, "customer"), "o_custkey", "c_custkey"))
+      .unionByName(orphans("customer->nation", t(s, dir, "customer"),
+        t(s, dir, "nation"), "c_nationkey", "n_nationkey"))
+      .unionByName(orphans("supplier->nation", t(s, dir, "supplier"),
+        t(s, dir, "nation"), "s_nationkey", "n_nationkey"))
+  }
+
   /** Cohort retention: users grouped by first-seen week, counted as
     * active per subsequent week offset. Two aggregations and one join,
     * all hash-partitioned by user — the standard distributed retention
@@ -659,6 +679,7 @@ object Relational {
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
+    "etl_integrity" -> (etlIntegrity _),
     "agg_stats" -> (aggStats _),
     "etl_upsert" -> (etlUpsert _),
     "join_salted" -> (joinSalted _),
@@ -778,6 +799,18 @@ object Relational {
         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "etl_integrity" ->
+      """SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_orphans
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders->customer', COUNT(*)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'customer->nation', COUNT(*)
+        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |UNION ALL
+        |SELECT 'supplier->nation', COUNT(*)
+        |FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
