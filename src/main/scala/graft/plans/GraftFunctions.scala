@@ -15,6 +15,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "bitmap_distinct", exprs => {
         require(exprs.length == 2,
           "bitmap_distinct(key, maxKey) takes exactly 2 arguments")

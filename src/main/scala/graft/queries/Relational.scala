@@ -512,6 +512,25 @@ object Relational {
         date_format(col("p_ts"), fmt).as("first_purchase"))
   }
 
+  /** Fuzzy name matching with the native codegen'd
+    * [[graft.plans.JaroWinkler]] expression (entity-resolution
+    * primitive; semantics pinned to DuckDB's jaro_winkler_similarity).
+    * Levenshtein rides along from the built-in function family.
+    * Similarities are emitted RAW — both engines produce bit-identical
+    * doubles, and engine-side rounding reintroduces midpoint skew. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    c.join(sup, col("c_custkey") === col("s_suppkey"))
+      .select(col("c_custkey"),
+        call_function("jaro_winkler", col("c_name"), col("s_name"))
+          .as("jw_name"),
+        call_function("jaro_winkler", reverse(col("c_name")), col("s_name"))
+          .as("jw_rev"),
+        levenshtein(col("c_name"), col("s_name")).cast("long").as("lev"))
+  }
+
   /** Referential-integrity audit across the star schema: orphan counts
     * per FK edge via left-anti joins — the warehouse-load health check
     * beside [[graft.etl.StockEtl.etlProfile]]'s column profile. */
@@ -680,6 +699,7 @@ object Relational {
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "etl_integrity" -> (etlIntegrity _),
+    "llm_fuzzy_match" -> (fuzzyMatch _),
     "agg_stats" -> (aggStats _),
     "etl_upsert" -> (etlUpsert _),
     "join_salted" -> (joinSalted _),
@@ -799,6 +819,12 @@ object Relational {
         |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "llm_fuzzy_match" ->
+      """SELECT c_custkey,
+        |  jaro_winkler_similarity(c_name, s_name) AS jw_name,
+        |  jaro_winkler_similarity(reverse(c_name), s_name) AS jw_rev,
+        |  levenshtein(c_name, s_name) AS lev
+        |FROM customer JOIN supplier ON c_custkey = s_suppkey""".stripMargin,
     "etl_integrity" ->
       """SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_orphans
         |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
