@@ -522,6 +522,29 @@ object LlmText {
         .as("simhash"))
   }
 
+  /** SimHash near-dup pairs: banded blocking over the 32-bit hash
+    * (4 × 8-bit bands — by pigeonhole, any pair within hamming ≤ 3
+    * shares at least one exact band), candidates verified with
+    * bit_count(xor). Completes the SimHash path from signature to
+    * dedup decision; same no-all-pairs discipline as the MinHash LSH. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits",
+        expr("shiftright(simhash, CAST(band * 8 AS INT)) % 256"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_bits") === col("b.band_bits")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   // -------------------------------------------------------- text stats
 
   /** Token counting: whitespace tokens, distinct tokens, alpha-run
@@ -595,6 +618,7 @@ object LlmText {
     "llm_minhash_neardup" -> (minhashNearDup _),
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_simhash" -> (simhash _),
+    "llm_simhash_neardup" -> (simhashNearDup _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_dedup_apply" -> (dedupApply _),
     "llm_cc_altstar" -> (ccAltStar _),
@@ -861,6 +885,29 @@ object LlmText {
         |           THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
         |           ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+    "llm_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        |             FROM documents),
+        |bits AS (SELECT doc_id, unnest(range(32)) AS pos, h FROM tok),
+        |votes AS (SELECT doc_id, pos,
+        |  SUM((((instr('0123456789abcdef', substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+        |        >> (3 - CAST(pos % 4 AS INT))) & 1) * 2 - 1) AS votes
+        |  FROM bits GROUP BY doc_id, pos),
+        |sh AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN votes > 0
+        |                  THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM votes GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM sh),
+        |b2 AS (SELECT doc_id, simhash, band,
+        |         (simhash >> CAST(band * 8 AS INT)) % 256 AS band_bits
+        |       FROM banded),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |          FROM b2 a JOIN b2 b
+        |            ON a.band = b.band AND a.band_bits = b.band_bits
+        |           AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= 3""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
