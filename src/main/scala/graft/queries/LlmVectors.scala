@@ -149,6 +149,48 @@ object LlmVectors {
         (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
         .as("norm2_hof"))
 
+  /** IVF coarse-quantizer TRAINING: Lloyd's k-means, k=8, two unrolled
+    * iterations, seeded deterministically with vectors 0..7. Distances
+    * use the inner-product expansion ‖x−c‖² = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ so
+    * both engines fold the same sequential sums; centroid recomputes
+    * pin per-dimension means through DECIMAL(20,8) like the serving
+    * path. Assignment shuffles nothing (centroids broadcast); the
+    * recompute is one posexplode + aggregation per iteration. */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, d) => acc + d)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cid").asc)
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
+            + dot(col("c"), col("c"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast(DecimalType(20, 8))).cast("double")
+          / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), expr("transform(pc, p -> p.c)").as("c"))
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    val cent1 = recompute(assign(cent0))
+    val assigned2 = assign(cent1)
+    assigned2.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"))
+      .join(recompute(assigned2).select(col("cid"),
+        round(element_at(col("c"), 1), 6).as("c0")), Seq("cid"))
+  }
+
   /** Recall evaluation of the approximate indexes against brute force:
     * |approx ∩ exact top-3| / |exact top-3| per method — the metric a
     * similarity-search deployment actually tracks. Composes the
@@ -173,6 +215,7 @@ object LlmVectors {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_recall" -> (annRecall _),
+    "llm_kmeans_train" -> (kmeansTrain _),
     "llm_vector_norms" -> (vectorNorms _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf2" -> (annIvf2 _),
@@ -227,7 +270,34 @@ object LlmVectors {
        |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
        |FROM r WHERE rnk <= 3""".stripMargin
 
+  private val l2Sql =
+    "list_inner_product(%s, %s) - 2 * list_inner_product(%s, %s) + list_inner_product(%s, %s)"
+
   val oracle: Map[String, String] = Map(
+    "llm_kmeans_train" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+         |a1 AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |         ORDER BY ${l2Sql.format("v", "v", "v", "c", "c", "c")} ASC, cid ASC) AS rn
+         |       FROM e CROSS JOIN c0),
+         |s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+         |f1 AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM s1),
+         |m1 AS (SELECT cid, pos,
+         |         CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+         |       FROM f1 GROUP BY cid, pos),
+         |c1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM m1 GROUP BY cid),
+         |a2 AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |         ORDER BY ${l2Sql.format("v", "v", "v", "c", "c", "c")} ASC, cid ASC) AS rn
+         |       FROM e CROSS JOIN c1),
+         |s2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1),
+         |f2 AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM s2),
+         |m2 AS (SELECT cid, pos,
+         |         CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+         |       FROM f2 GROUP BY cid, pos),
+         |c2 AS (SELECT cid, list(c ORDER BY pos) AS c FROM m2 GROUP BY cid),
+         |n AS (SELECT cid, COUNT(*) AS n_members FROM s2 GROUP BY cid)
+         |SELECT n.cid, n.n_members, ROUND(c2.c[1], 6) AS c0
+         |FROM n JOIN c2 ON n.cid = c2.cid""".stripMargin,
     // flattened single WITH list (DuckDB 1.0 rejects nested WITH in a
     // derived table); exact/lsh/ivf pipelines share the e and q CTEs
     "llm_ann_recall" ->
