@@ -495,6 +495,31 @@ object LlmText {
       .filter(col("rank") <= 40)
   }
 
+  /** The full training-data pipeline as ONE composed plan: length-
+    * percentile quality gate → near-dup cluster dedup (keepers only) →
+    * deterministic 80/10/10 split → per-(source, split) corpus stats.
+    * Every stage is an operator graded on its own elsewhere; this query
+    * pins that they compose — the shape a real corpus build
+    * materializes nightly. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val bounds = docs(s, dir).agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    val dropped = dedupClusters(s, dir)
+      .filter(!col("is_keeper")).select("doc_id")
+    docs(s, dir)
+      .crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        when(detU < 0.8, "train").when(detU < 0.9, "val")
+          .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** 32-bit tf-weighted SimHash from md5 bits: per (doc, bit) majority
     * vote over token occurrences, assembled with shifts. Two narrow
     * aggregations — no per-doc state beyond 32 counters. */
@@ -629,6 +654,7 @@ object LlmText {
     "llm_decontaminate" -> (decontaminate _),
     "llm_length_filter" -> (lengthFilter _),
     "llm_dedup_stats" -> (dedupStats _),
+    "llm_pipeline_e2e" -> (pipelineE2e _),
     "text_repetition" -> (textRepetition _),
     "llm_seq_pack" -> (seqPack _),
     "llm_weighted_sample" -> (weightedSample _),
@@ -729,6 +755,25 @@ object LlmText {
           |  CAST(SUM(CASE WHEN d.doc_id IN (SELECT node FROM dropped)
           |           THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
           |FROM documents d GROUP BY d.source""".stripMargin
+    },
+    "llm_pipeline_e2e" -> {
+      val prefix = dedupClustersSql.substring(0,
+        dedupClustersSql.indexOf("SELECT node AS doc_id"))
+      prefix.trim + ",\n" +
+        s"""dropped AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node),
+           |b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+           |        quantile_cont(n_chars, 0.95) AS hi FROM documents),
+           |kept AS (SELECT doc_id, source,
+           |           len(string_split(text, ' ')) AS n_tokens,
+           |           CASE WHEN $uSql < 0.8 THEN 'train'
+           |                WHEN $uSql < 0.9 THEN 'val'
+           |                ELSE 'test' END AS split
+           |         FROM documents CROSS JOIN b
+           |         WHERE n_chars >= lo AND n_chars <= hi
+           |           AND doc_id NOT IN (SELECT node FROM dropped))
+           |SELECT source, split, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM kept GROUP BY source, split""".stripMargin
     },
     "llm_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
