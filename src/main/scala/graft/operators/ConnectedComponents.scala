@@ -74,6 +74,14 @@ object ConnectedComponents {
       prevSum = sum
       iter += 1
     }
+    // 25 alternating rounds cover any graph up to ~2^25 nodes (the
+    // contraction halves component height per round); if the fixpoint
+    // check still hasn't passed, returning labels from a non-fixpoint
+    // edge set would silently hand back WRONG component assignments —
+    // fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge after $iter star rounds; " +
+        "edge set is not a star forest — refusing to emit partial labels")
     // At the fixpoint the graph is a star forest: every non-root points
     // straight at its component minimum.
     val labels = e.groupBy(col("src").as("node"))

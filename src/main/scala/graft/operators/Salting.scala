@@ -27,17 +27,25 @@ object Salting {
 
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, buckets: Int): DataFrame = {
+    // The salt column must not collide with user columns on either input
+    // (withColumn would silently REPLACE one and the final drop would
+    // remove the user's data) — pick the first unused suffixed name,
+    // the same pattern as AsOf.leftAsOf's helper columns.
+    val taken = (fact.columns ++ dim.columns).toSet
+    val saltCol = Iterator.from(0)
+      .map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(!taken.contains(_)).get
     // Salt from stable row content only (hash of every fact column), so a
     // map-task retry recomputes the identical salt — nondeterministic
     // inputs like spark_partition_id() would make the shuffle key unstable
     // and risk row loss/duplication on partial stage retry.
-    val salted = fact.withColumn("__salt",
+    val salted = fact.withColumn(saltCol,
       pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
-    val expanded = dim.withColumn("__salt",
+    val expanded = dim.withColumn(saltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(expanded,
         salted(factKey) === expanded(dimKey)
-          && salted("__salt") === expanded("__salt"))
-      .drop("__salt")
+          && salted(saltCol) === expanded(saltCol))
+      .drop(saltCol)
   }
 }

@@ -11,12 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `jaro_winkler_similarity` (verified on reference pairs): match
   * window `max(|a|,|b|)/2 − 1`, transpositions halved, Winkler boost
   * `p·0.1·(1−j)` with prefix capped at 4 applied only when the Jaro
-  * score strictly exceeds 0.7. */
+  * score strictly exceeds 0.7. Computed over UTF-8 BYTES, not UTF-16
+  * code units: DuckDB's kernel iterates the raw UTF-8 string, so byte
+  * units are what keep non-ASCII (and supplementary-plane) inputs in
+  * hash parity with the oracle — and UTF8String hands us those bytes
+  * without a toString allocation. */
 object JaroWinklerUtil {
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
-    if (a == b) return 1.0
+    if (ua.equals(ub)) return 1.0
+    val a = ua.getBytes
+    val b = ub.getBytes
     val la = a.length; val lb = b.length
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
@@ -30,7 +34,7 @@ object JaroWinklerUtil {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!mb(j) && a(i) == b(j)) {
           ma(i) = true; mb(j) = true; m += 1; found = true
         }
         j += 1
@@ -44,7 +48,7 @@ object JaroWinklerUtil {
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -54,7 +58,7 @@ object JaroWinklerUtil {
     if (j > 0.7) {
       var p = 0
       val cap = math.min(4, math.min(la, lb))
-      while (p < cap && a.charAt(p) == b.charAt(p)) p += 1
+      while (p < cap && a(p) == b(p)) p += 1
       j + p * 0.1 * (1.0 - j)
     } else j
   }

@@ -200,22 +200,38 @@ object LlmText {
     * pipeline — memoized per (session, fixture dir) so the clusters
     * query and the apply query share one computation. The cached frame
     * is localCheckpointed (plan-free), so holding it is cheap. */
-  // WeakHashMap keyed on the session object itself: the entry vanishes
-  // with the session (identityHashCode keys could be reused after GC and
-  // hand back a DataFrame bound to a stopped session). Memoized frames
-  // are eagerly-materialized localCheckpoints (plan-free), so holding
-  // them is cheap; the near-dup PAIR table and the cluster table are
-  // both materialized intermediates a real dedup pipeline writes once
-  // and reads from every consumer (clusters, alt-star CC, apply).
+  // Keyed by the session's UUID STRING, not the session object: a
+  // WeakHashMap[SparkSession, DataFrame] never collects, because the
+  // cached DataFrame strongly references its session
+  // (Dataset.sparkSession) — the classic value→key anti-pattern. A
+  // string key holds no session reference; entries are evicted by a
+  // listener when the owning SparkContext stops (every session of a
+  // stopped context is unusable, so its cached frames are garbage).
+  // Memoized frames are eagerly-materialized localCheckpoints
+  // (plan-free), so holding them while the app lives is cheap; the
+  // near-dup PAIR table and the cluster table are both materialized
+  // intermediates a real dedup pipeline writes once and reads from
+  // every consumer (clusters, alt-star CC, apply).
   private val memoCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
+    new java.util.HashMap[String, scala.collection.mutable.Map[String, DataFrame]]
+  private val evictionHooked = new java.util.HashSet[String]
 
   private def memo(s: SparkSession, key: String)(
       compute: => DataFrame): DataFrame =
     memoCache.synchronized {
+      val sid = s.sessionUUID
+      if (evictionHooked.add(sid)) {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              memoCache.synchronized {
+                memoCache.remove(sid); evictionHooked.remove(sid)
+              }
+          })
+      }
       val perSession = memoCache.computeIfAbsent(
-        s, _ => scala.collection.mutable.Map.empty)
+        sid, _ => scala.collection.mutable.Map.empty)
       perSession.getOrElseUpdate(key, compute)
     }
 

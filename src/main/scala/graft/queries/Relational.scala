@@ -116,7 +116,7 @@ object Relational {
   def aggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_suppkey")
-      .agg(dsum(d18(col("l_quantity"))).as("total_qty"),
+      .agg(dsum2(d18(col("l_quantity"))).as("total_qty"),
         count(lit(1)).as("n_items"))
       .filter(col("total_qty") > 14000)
 
@@ -153,7 +153,7 @@ object Relational {
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
-        dsum(d18(col("l_quantity"))).as("sum_qty"))
+        dsum2(d18(col("l_quantity"))).as("sum_qty"))
 
   // --------------------------------------------------------------- joins
 
