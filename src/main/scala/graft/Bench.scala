@@ -61,7 +61,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle":$shuffle,"sf":"$sfDir"}""")
+    // The driver contract is ONE JSON line with exactly these keys and a
+    // numeric sf — extras (per-query shuffle attribution, failures) go to
+    // stderr so a strict line parser can't choke on them.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    System.err.println(
+      s"""[bench-detail] {"failed":$failed,"shuffle":$shuffle,"dir":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -43,7 +43,8 @@ object ConnectedComponents {
     *              ignored.
     * @return (node, component) where component = min node id reachable;
     *         every node of `edges` appears exactly once. */
-  def components(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def components(spark: SparkSession, edges: DataFrame,
+                 maxRounds: Int = 25): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = true)
@@ -58,7 +59,7 @@ object ConnectedComponents {
     var prevSum = BigDecimal(-1)
     var converged = e.isEmpty
     var iter = 0
-    while (!converged && iter < 25) {
+    while (!converged && iter < maxRounds) {
       val prev = e
       e = star(star(e, large = true), large = false)
         .localCheckpoint(eager = true)
@@ -74,11 +75,14 @@ object ConnectedComponents {
       prevSum = sum
       iter += 1
     }
-    // 25 alternating rounds cover any graph up to ~2^25 nodes (the
-    // contraction halves component height per round); if the fixpoint
-    // check still hasn't passed, returning labels from a non-fixpoint
-    // edge set would silently hand back WRONG component assignments —
-    // fail loudly instead.
+    // Kiveris et al. prove O(log^2 n) rounds worst-case for alternating
+    // large-star/small-star (typically far fewer in practice), and the
+    // fixpoint detection needs one extra confirming round — so the
+    // default cap of 25 is a practical bound, not a guarantee; callers
+    // with pathological graphs can raise `maxRounds`. If the fixpoint
+    // check still hasn't passed at the cap, returning labels from a
+    // non-fixpoint edge set would silently hand back WRONG component
+    // assignments — fail loudly instead.
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge after $iter star rounds; " +
         "edge set is not a star forest — refusing to emit partial labels")

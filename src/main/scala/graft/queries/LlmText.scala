@@ -216,10 +216,25 @@ object LlmText {
     new java.util.HashMap[String, scala.collection.mutable.Map[String, DataFrame]]
   private val evictionHooked = new java.util.HashSet[String]
 
+  // Spark 4's sessionUUID is private[sql], so mint our own stable id
+  // per session. The WeakHashMap value is a plain string — it holds no
+  // reference back to the session, so the weak key can still collect.
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]
+  private def sessionKey(s: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(s)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(s, id)
+      }
+      id
+    }
+
   private def memo(s: SparkSession, key: String)(
       compute: => DataFrame): DataFrame =
     memoCache.synchronized {
-      val sid = s.sessionUUID
+      val sid = sessionKey(s)
       if (evictionHooked.add(sid)) {
         s.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
