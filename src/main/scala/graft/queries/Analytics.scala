@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Round-5 analytics surface: batch sessionization, last-touch
+  * attribution, LLM chunking, collocation mining, outlier detection,
+  * SCD2 dimension builds, and rule-based data-quality checks.
+  *
+  * Reference anchor: these generalize the warehouse-SQL layer the
+  * reference delegates to BigQuery over its loaded table
+  * (`dump_bigq.py:141-149`) — sessionization/attribution are the
+  * event-analytics idioms, SCD2/DQ-rules the warehouse-maintenance
+  * idioms, chunking/collocations the LLM-training-data idioms.
+  *
+  * Determinism rules follow graft.queries.Relational: integer
+  * microseconds for time arithmetic (`unix_micros` ↔ DuckDB
+  * `epoch_us`), decimal-pinned money sums, explicit total orders
+  * under every window/limit, BIGINT casts on every count-ish column.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Gap-based batch sessionization (30-minute inactivity splits), the
+    * batch analog of Structured Streaming's session windows: a new
+    * session starts when the gap to the previous event exceeds 30 min;
+    * sessions then aggregate count/bounds/duration/value.
+    *
+    * Scale: two window passes and one aggregation, all partitioned by
+    * `user_id` — a single hash-exchange reused by every step (Catalyst
+    * collapses the two windows over the same ordering into one sort).
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), col("event_id"))
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(w) > 1800000000L
+          || lag("us", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sess",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess").cast("long").as("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        (max("us") - min("us")).as("dur_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent preceding click/view (`last(..., ignoreNulls)` over an
+    * unbounded-preceding frame — the IGNORE NULLS navigation idiom).
+    * Purchases with no prior touch get -1, keeping the column
+    * null-free for stable oracle hashing. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"), col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        coalesce(col("touch"), lit(-1L)).as("touch_us"),
+        when(col("touch").isNull, -1L).otherwise(col("us") - col("touch"))
+          .as("latency_us"))
+  }
+
+  /** Token-budget sliding-window chunking (size 48, stride 32, overlap
+    * 16) — the standard LLM pretraining prep that turns documents into
+    * fixed-size training sequences. `sequence`+`explode` manufactures
+    * chunk starts; `slice`+`array_join` materializes each chunk.
+    *
+    * Scale: narrow per-row work, no shuffle at all — chunking 100 TB
+    * is embarrassingly parallel and this plan keeps it that way. */
+  def llmChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(32))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / 32).cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(48)), " ")
+          .as("chunk_text"),
+        least(lit(48), size(col("toks")) - col("start")).cast("long")
+          .as("chunk_len"))
+
+  /** Bigram collocation mining with PMI scoring: adjacent-token pairs
+    * via `lead` over (doc, position), counts vs independence, top 20
+    * by frequency (lexicographic tiebreak). The PMI expression is the
+    * same text on both engines so the doubles agree bit-for-bit.
+    *
+    * Scale: the bigram count is a map-side-combinable groupBy on the
+    * pair key; corpus totals broadcast back (two scalar rows). */
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "p", "tok")
+    val bi = pos
+      .withColumn("w2",
+        lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("p")))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("nu"))
+    val tot = cnt.agg(sum("n").as("nb"))
+    val tu = uni.agg(sum("nu").as("nt"))
+    cnt.crossJoin(broadcast(tot)).crossJoin(broadcast(tu))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("nu").as("nu1"))),
+        "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("nu").as("nu2"))),
+        "w2")
+      .select(col("w1"), col("w2"), col("n"),
+        expr("ROUND(LN((n / nb) / ((nu1 / nt) * (nu2 / nt))), 4)").as("pmi"))
+      .orderBy(desc("n"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Per-group z-score outlier detection: prices more than 1.5 sample
+    * standard deviations from their supplier's mean. The stats side is
+    * one row per supplier — broadcast back to the fact table, so the
+    * fact side never shuffles. */
+  def aggZscore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val st = li.groupBy("l_suppkey")
+      .agg(avg("l_extendedprice").as("mu"),
+        stddev_samp("l_extendedprice").as("sd"))
+    li.join(broadcast(st), "l_suppkey")
+      .withColumn("z0", (col("l_extendedprice") - col("mu")) / col("sd"))
+      .filter(abs(col("z0")) > 1.5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), round(col("z0"), 4).as("z"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) build: per-part daily
+    * revenue versions with [valid_from, valid_to] intervals from
+    * `lead`, open-ended current rows pinned to 9999-12-31. The daily
+    * measure is a decimal-pinned SUM — exact, so no rounding traps.
+    *
+    * Scale: groupBy(part, day) then a window by part — AQE coalesces
+    * both onto the same key-ish exchange; no driver-side state. */
+  def etlScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey").orderBy("d")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_shipdate").cast("date").as("d"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double").as("price"))
+      .select(col("l_partkey"), col("d").as("valid_from"),
+        coalesce(date_sub(lead("d", 1).over(w), 1),
+          lit("9999-12-31").cast("date")).as("valid_to"),
+        col("price"),
+        when(lead("d", 1).over(w).isNull, 1L).otherwise(0L)
+          .as("is_current"))
+  }
+
+  /** Rule-based data-quality checks: each rule is a FILTERed count over
+    * its table; violations==0 rows are kept so the report shape is the
+    * rule catalog, not the violation set. One pass per table (the
+    * FILTER aggregates share a scan), tiny output. */
+  def etlDqRules(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_dq_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("graft_dq_orders")
+    s.sql(
+      """SELECT rule_id, violations FROM (
+        |  SELECT
+        |    CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) AS lineitem_nonpos_qty,
+        |    CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS lineitem_discount_range,
+        |    CAST(COUNT(*) FILTER (WHERE l_tax < 0 OR l_tax > 0.08) AS BIGINT) AS lineitem_tax_range,
+        |    CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT) AS lineitem_null_partkey
+        |  FROM graft_dq_lineitem
+        |) STACK_SRC
+        |LATERAL VIEW STACK(4,
+        |  'lineitem_nonpos_qty', lineitem_nonpos_qty,
+        |  'lineitem_discount_range', lineitem_discount_range,
+        |  'lineitem_tax_range', lineitem_tax_range,
+        |  'lineitem_null_partkey', lineitem_null_partkey) AS rule_id, violations
+        |UNION ALL
+        |SELECT rule_id, violations FROM (
+        |  SELECT
+        |    CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS orders_nonpos_total,
+        |    CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS orders_null_custkey
+        |  FROM graft_dq_orders
+        |) STACK_SRC2
+        |LATERAL VIEW STACK(2,
+        |  'orders_nonpos_total', orders_nonpos_total,
+        |  'orders_null_custkey', orders_null_custkey) AS rule_id, violations
+        |""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize" -> (eventsSessionize _),
+    "events_attribution" -> (eventsAttribution _),
+    "llm_chunk" -> (llmChunk _),
+    "text_collocations" -> (textCollocations _),
+    "agg_zscore" -> (aggZscore _),
+    "etl_scd2" -> (etlScd2 _),
+    "etl_dq_rules" -> (etlDqRules _))
+
+  val oracle: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id FROM events),
+        |f AS (SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM f)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+        |       MIN(us) AS start_us, MAX(us) AS end_us, MAX(us)-MIN(us) AS dur_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    "events_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |lt AS (SELECT *,
+        |         LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN us END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |       FROM e)
+        |SELECT event_id, user_id, us AS purchase_us,
+        |       COALESCE(touch, -1) AS touch_us,
+        |       CASE WHEN touch IS NULL THEN -1 ELSE us - touch END AS latency_us
+        |FROM lt WHERE event_type = 'purchase'""".stripMargin,
+    "llm_chunk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(generate_series(0, greatest(len(toks)-1, 0), 32)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+        |       array_to_string(list_slice(toks, start+1, start+48), ' ') AS chunk_text,
+        |       CAST(least(48, len(toks)-start) AS BIGINT) AS chunk_len
+        |FROM st""".stripMargin,
+    "text_collocations" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS p FROM tok),
+        |bi AS (SELECT a.tok AS w1, b.tok AS w2 FROM pos a JOIN pos b ON a.doc_id=b.doc_id AND b.p=a.p+1),
+        |cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY 1,2),
+        |uni AS (SELECT tok, COUNT(*) AS nu FROM pos GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nb FROM cnt), tu AS (SELECT SUM(nu) AS nt FROM uni)
+        |SELECT w1, w2, n, ROUND(LN((n / nb) / ((u1.nu / nt) * (u2.nu / nt))), 4) AS pmi
+        |FROM cnt, tot, tu
+        |JOIN uni u1 ON u1.tok = cnt.w1
+        |JOIN uni u2 ON u2.tok = cnt.w2
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "agg_zscore" ->
+      """WITH st AS (SELECT l_suppkey, AVG(l_extendedprice) AS mu, STDDEV_SAMP(l_extendedprice) AS sd
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l.l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |       ROUND((l_extendedprice - mu) / sd, 4) AS z
+        |FROM lineitem l JOIN st ON l.l_suppkey = st.l_suppkey
+        |WHERE ABS((l_extendedprice - mu) / sd) > 1.5""".stripMargin,
+    "etl_scd2" ->
+      """WITH daily AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+        |                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |               FROM lineitem GROUP BY 1, 2)
+        |SELECT l_partkey, d AS valid_from,
+        |       CAST(COALESCE(LEAD(d) OVER w - INTERVAL 1 DAY, DATE '9999-12-31') AS DATE) AS valid_to,
+        |       price,
+        |       CAST(CASE WHEN LEAD(d) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM daily WINDOW w AS (PARTITION BY l_partkey ORDER BY d)""".stripMargin,
+    "etl_dq_rules" ->
+      """SELECT 'lineitem_nonpos_qty' AS rule_id, CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) AS violations FROM lineitem
+        |UNION ALL SELECT 'lineitem_discount_range', CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem_tax_range', CAST(COUNT(*) FILTER (WHERE l_tax < 0 OR l_tax > 0.08) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem_null_partkey', CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders_nonpos_total', CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_null_custkey', CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders""".stripMargin)
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Round-5 surface, part 2: gaps-and-islands streaks, robust (MAD)
+  * outliers, priority dedup, snapshot diffing, and OHLC resampling —
+  * the time-series shape of the reference's own stock domain
+  * (`stock_data.csv`'s Price/Open/High/Low columns are exactly an OHLC
+  * bar; `etl_ohlc_resample` rebuilds such bars from raw ticks).
+  *
+  * Determinism rules as in [[graft.queries.Analytics]].
+  */
+object Analytics2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Gaps-and-islands: per-user consecutive-day activity streaks. The
+    * island key is `day - row_number() days` — constant within a run
+    * of consecutive days — so one window pass plus one aggregation
+    * finds every streak with no self-join. */
+  def eventsStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .drop("grp")
+      .select("user_id", "streak_start", "streak_end", "streak_days")
+  }
+
+  /** Robust outlier detection via median absolute deviation: value
+    * events more than 3 robust-z (1.4826·MAD ≈ one σ under normality)
+    * from their type's median. Two grouped interpolated medians (same
+    * semantics as `agg_median`), both tiny — they broadcast back to
+    * the fact side, which never shuffles. */
+  def aggMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("event_id"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("rz", (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(abs(col("rz")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("rz"), 4).as("robust_z"))
+  }
+
+  /** Cross-source priority dedup: documents sharing a canonical key
+    * (here a 5-token-prefix fingerprint — the "same boilerplate head"
+    * heuristic) are collapsed to one survivor, chosen by source
+    * priority then doc_id. The survivor also reports how many copies
+    * it absorbed — the dedup-impact number a curation pipeline logs.
+    *
+    * Scale: one hash-shuffle on the fingerprint; the window and the
+    * aggregate share it. */
+  def llmDedupPriority(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("th").orderBy("source", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(array_join(slice(split(lower(col("text")), " "), 1, 5), " "))
+          .as("th"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy("th")).cast("long"))
+      .filter(col("rk") === 1)
+      .select("doc_id", "source", "th", "n_copies")
+  }
+
+  /** Snapshot diff: two yearly slices of orders compared per customer
+    * — added / removed / changed / unchanged, with old and new
+    * measures side by side. The measures are decimal-pinned sums, so
+    * `tot_old = tot_new` is an exact comparison, not an FP hazard.
+    * This is the audit step after any full-refresh load (the
+    * reference's load mode, `dump_bigq.py:133-140`). */
+  def etlSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def snap(lo: String, hi: String) =
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date").between(lo, hi))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("tot"))
+    val a = snap("1995-01-01", "1995-12-31")
+      .select(col("o_custkey"), col("n").as("n_old"), col("tot").as("tot_old"))
+    val b = snap("1996-01-01", "1996-12-31")
+      .select(col("o_custkey"), col("n").as("n_new"), col("tot").as("tot_new"))
+    a.join(b, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .when(col("n_old") === col("n_new")
+            && col("tot_old") === col("tot_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("tot_old"), lit(0.0)).as("tot_old"),
+        coalesce(col("tot_new"), lit(0.0)).as("tot_new"))
+  }
+
+  /** OHLC resampling: hourly open/high/low/close bars per event type
+    * from raw ticks — the aggregation that produces exactly the
+    * reference's stock_data.csv row shape (Price/Open/High/Low,
+    * `SURVEY.md` §1.3). Open/close are first/last in event-time with
+    * an explicit (us, event_id) total order; high/low/count are plain
+    * aggregates sharing the same exchange. */
+  def etlOhlcResample(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("event_type", "hr").orderBy("us", "event_id")
+    t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .withColumn("o", first("value").over(ord))
+      .withColumn("c", last("value").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("event_type", "hr")
+      .agg(min("o").as("open"), max("value").as("high"),
+        min("value").as("low"), min("c").as("close"),
+        count(lit(1)).as("n_ticks"))
+  }
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_streaks" -> (eventsStreaks _),
+    "agg_mad_outliers" -> (aggMadOutliers _),
+    "llm_dedup_priority" -> (llmDedupPriority _),
+    "etl_snapshot_diff" -> (etlSnapshotDiff _),
+    "etl_ohlc_resample" -> (etlOhlcResample _))
+
+  val oracle: Map[String, String] = Map(
+    "events_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        CAST(day - INTERVAL (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)) DAY AS DATE) AS grp
+        |      FROM d)
+        |SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end, COUNT(*) AS streak_days
+        |FROM r GROUP BY user_id, grp""".stripMargin,
+    "agg_mad_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.event_id, e.value, ABS(e.value - m.med) AS adev, m.med
+        |        FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |       ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.0""".stripMargin,
+    "llm_dedup_priority" ->
+      """WITH h AS (SELECT doc_id, source,
+        |             md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 5), ' ')) AS th
+        |           FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY th ORDER BY source, doc_id) AS rk,
+        |        COUNT(*) OVER (PARTITION BY th) AS dupes
+        |      FROM h)
+        |SELECT doc_id, source, th, CAST(dupes AS BIGINT) AS n_copies
+        |FROM r WHERE rk = 1""".stripMargin,
+    "etl_snapshot_diff" ->
+      """WITH a AS (SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |           FROM orders WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31' GROUP BY 1),
+        |b AS (SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |      FROM orders WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |       CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |            WHEN b.o_custkey IS NULL THEN 'removed'
+        |            WHEN a.n = b.n AND a.tot = b.tot THEN 'unchanged' ELSE 'changed' END AS status,
+        |       COALESCE(a.n, 0) AS n_old, COALESCE(b.n, 0) AS n_new,
+        |       COALESCE(a.tot, 0) AS tot_old, COALESCE(b.tot, 0) AS tot_new
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey""".stripMargin,
+    "etl_ohlc_resample" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value FROM events),
+        |w AS (SELECT *, FIRST_VALUE(value) OVER (PARTITION BY event_type, hr ORDER BY us, event_id) AS o,
+        |        LAST_VALUE(value) OVER (PARTITION BY event_type, hr ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |      FROM e)
+        |SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, MIN(o) AS open, MAX(value) AS high,
+        |       MIN(value) AS low, MIN(c) AS close, COUNT(*) AS n_ticks
+        |FROM w GROUP BY event_type, hr""".stripMargin)
+}
