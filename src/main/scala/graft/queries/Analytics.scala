@@ -147,11 +147,15 @@ object Analytics {
     * `lead`, open-ended current rows pinned to 9999-12-31. The daily
     * measure is a decimal-pinned SUM — exact, so no rounding traps.
     *
-    * Scale: groupBy(part, day) then a window by part — AQE coalesces
-    * both onto the same key-ish exchange; no driver-side state. */
+    * Scale: one exchange total. Pre-partitioning by `l_partkey` alone
+    * satisfies BOTH the (partkey, day) grouping (hash-partitioning on a
+    * subset of the grouping keys is a valid ClusteredDistribution) and
+    * the part-keyed window, so the groupBy and the window both run
+    * shuffle-free on top of it. */
   def etlScd2(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_partkey").orderBy("d")
     t(s, dir, "lineitem")
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_shipdate").cast("date").as("d"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
         .cast("double").as("price"))
