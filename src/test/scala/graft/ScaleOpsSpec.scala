@@ -76,4 +76,36 @@ class ScaleOpsSpec extends SparkTestBase {
     // the other nine indices are untouched
     assert(after.filter(col("stock_name") =!= "Dow Jones").count() == 208 - 19)
   }
+
+  test("runtime bloom filter prunes the fact scan behind a selective dim") {
+    // At 100 TB the win is pruning fact rows BEFORE the join shuffle:
+    // Spark's InjectRuntimeFilter builds a bloom filter from the
+    // filtered (creation) side and stamps bloom_filter_might_contain
+    // onto the fact (application) side. Thresholds are sized for real
+    // clusters, so shrink them to fixture scale; broadcast is disabled
+    // to force the shuffle-join shape the filter exists to protect.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg")
+        && plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
