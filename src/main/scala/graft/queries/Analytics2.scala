@@ -129,9 +129,63 @@ object Analytics2 {
         count(lit(1)).as("n_ticks"))
   }
 
+  /** Per-group least-squares regression: price-on-quantity slope,
+    * intercept, R², and pair count via the SQL regression aggregates —
+    * trend detection as a single map-side-combinable aggregation, no
+    * window, no second pass. Rounding margins: slope/intercept carry
+    * ~1e-8 relative FP divergence across engines vs a 5e-5 rounding
+    * granularity at 4 decimals. */
+  def aggRegression(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_regr_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM graft_regr_lineitem GROUP BY l_returnflag""".stripMargin)
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: consecutive (from, to) event-type pairs with transition
+    * probabilities — the behavioral-model aggregate behind funnel and
+    * next-event prediction. One user-keyed window pass, then a
+    * 25-cell aggregate; the per-from totals re-enter by broadcast. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("tn"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("tn"), 6).as("p"))
+  }
+
+  /** ROLLUP with grouping-indicator columns: `GROUPING(col)` flags
+    * distinguish subtotal rows from data rows whose key really is the
+    * sentinel — the indicator surface the plain rollup/cube queries
+    * don't exercise. */
+  def aggGroupingId(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_gid_lineitem")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_gid_lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_regression" -> (aggRegression _),
+    "events_transitions" -> (eventsTransitions _),
+    "agg_grouping_id" -> (aggGroupingId _),
     "events_streaks" -> (eventsStreaks _),
     "agg_mad_outliers" -> (aggMadOutliers _),
     "llm_dedup_priority" -> (llmDedupPriority _),
@@ -139,6 +193,28 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type FROM events),
+        |p AS (SELECT event_type AS to_type,
+        |        LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type
+        |      FROM e),
+        |cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM p WHERE from_type IS NOT NULL GROUP BY 1,2),
+        |tot AS (SELECT from_type, SUM(n) AS tn FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, ROUND(c.n / t.tn, 6) AS p
+        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "events_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |r AS (SELECT user_id, day,
