@@ -180,9 +180,25 @@ object Analytics2 {
         |FROM graft_gid_lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
   }
 
+  /** Top-5 line items per supplier through the custom heap operator
+    * ([[graft.plans.TopKPerGroup]]): same semantics as the
+    * `row_number() <= k` window (the oracle), but planned as one
+    * hash-exchange + bounded per-group heaps — no partition sort. The
+    * order is total (price desc, then orderkey, linenumber), so the
+    * result is deterministic. */
+  def winTopkHeap(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      t(s, dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      Seq("l_suppkey"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc),
+      k = 5)
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_heap" -> (winTopkHeap _),
     "agg_regression" -> (aggRegression _),
     "events_transitions" -> (eventsTransitions _),
     "agg_grouping_id" -> (aggGroupingId _),
@@ -193,6 +209,13 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "win_topk_heap" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 5""".stripMargin,
     "agg_regression" ->
       """SELECT l_returnflag,
         |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
