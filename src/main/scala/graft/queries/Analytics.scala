@@ -201,9 +201,37 @@ object Analytics {
         |""".stripMargin)
   }
 
+  /** JSON-lines sink + source round-trip (reference sink family K1,
+    * `main.py:122-133`, generalized to JSONL): events → distributed
+    * JSONL write → schema-explicit read-back → per-type aggregate. The
+    * oracle aggregates the parquet directly, so a row lost, duplicated,
+    * or type-mangled by either side of the round-trip fails the hash.
+    * Timestamps travel as integer microseconds (JSON has no timestamp
+    * type); doubles round-trip exactly through Jackson. */
+  def scanJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = sys.props("java.io.tmpdir") + "/graft_jsonl_roundtrip"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("us", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("us").as("first_us"), max("us").as("last_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_jsonl_roundtrip" -> (scanJsonlRoundtrip _),
     "events_sessionize" -> (eventsSessionize _),
     "events_attribution" -> (eventsAttribution _),
     "llm_chunk" -> (llmChunk _),
@@ -213,6 +241,12 @@ object Analytics {
     "etl_dq_rules" -> (etlDqRules _))
 
   val oracle: Map[String, String] = Map(
+    "scan_jsonl_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id FROM events),
         |f AS (SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s

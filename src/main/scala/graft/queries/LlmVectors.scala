@@ -213,7 +213,38 @@ object LlmVectors {
       .unionByName(eval("ivf", annIvf(s, dir)))
   }
 
+  /** SemDeDup-shaped semantic dedup: near-dup cosine pairs are only
+    * sought WITHIN a semantic block (here the `label` column — in
+    * production, the k-means cluster id that `llm_kmeans_train`
+    * produces), then each block reports members, duplicate pairs, and
+    * the prune count under the deterministic "drop the higher vec_id
+    * of every pair" policy.
+    *
+    * Scale: all-pairs is O(n²); blocking makes it Σ n_b² with the
+    * equi-join on block id as the only shuffle — the same reason
+    * embed_neardup buckets by sign and minhash bands by signature. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val pairs = e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("b.vec_id").as("vec_b"),
+        cos(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.35)
+    e.groupBy("label").agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy("label").agg(count(lit(1)).as("pair_cnt")),
+        Seq("label"), "left")
+      .join(pairs.select("label", "vec_b").distinct()
+        .groupBy("label").agg(count(lit(1)).as("pruned_cnt")),
+        Seq("label"), "left")
+      .select(col("label"),
+        col("n_members"),
+        coalesce(col("pair_cnt"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("pruned_cnt"), lit(0L)).as("n_pruned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_semdedup" -> (semDedup _),
     "llm_ann_recall" -> (annRecall _),
     "llm_kmeans_train" -> (kmeansTrain _),
     "llm_vector_norms" -> (vectorNorms _),
@@ -274,6 +305,20 @@ object LlmVectors {
     "list_inner_product(%s, %s) - 2 * list_inner_product(%s, %s) + list_inner_product(%s, %s)"
 
   val oracle: Map[String, String] = Map(
+    "llm_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT a.label, b.vec_id AS vec_b
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE ${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")} >= 0.35),
+         |m AS (SELECT label, COUNT(*) AS n_members FROM e GROUP BY label),
+         |pc AS (SELECT label, COUNT(*) AS pair_cnt FROM p GROUP BY label),
+         |pr AS (SELECT label, COUNT(*) AS pruned_cnt
+         |       FROM (SELECT DISTINCT label, vec_b FROM p) GROUP BY label)
+         |SELECT m.label, m.n_members,
+         |       COALESCE(pc.pair_cnt, 0) AS n_dup_pairs,
+         |       COALESCE(pr.pruned_cnt, 0) AS n_pruned
+         |FROM m LEFT JOIN pc ON m.label = pc.label
+         |       LEFT JOIN pr ON m.label = pr.label""".stripMargin,
     "llm_kmeans_train" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
