@@ -228,9 +228,35 @@ object Analytics {
           .as("sum_value"))
   }
 
+  /** CSV sink + source round-trip (reference sink K1 / source K2,
+    * `main.py:122-133` / `dump_bigq.py:91`): same shape as the JSONL
+    * round-trip — write distributed CSV with a header, read back with
+    * an explicit schema, aggregate; the oracle aggregates the parquet
+    * directly, so round-trip corruption fails the hash. */
+  def scanCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("us", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("us").as("first_us"), max("us").as("last_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "scan_jsonl_roundtrip" -> (scanJsonlRoundtrip _),
     "events_sessionize" -> (eventsSessionize _),
     "events_attribution" -> (eventsAttribution _),
@@ -241,6 +267,12 @@ object Analytics {
     "etl_dq_rules" -> (etlDqRules _))
 
   val oracle: Map[String, String] = Map(
+    "scan_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "scan_jsonl_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
         |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,

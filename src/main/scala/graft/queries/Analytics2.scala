@@ -195,9 +195,51 @@ object Analytics2 {
         col("l_linenumber").asc),
       k = 5)
 
+  /** RFM (recency / frequency / monetary) customer segmentation:
+    * per-user purchase stats, then NTILE(5) quintiles per dimension
+    * with user_id tiebreaks so the bucketing is a total order. The
+    * three global NTILEs are single-partition windows over the
+    * ALREADY-AGGREGATED per-user table (rows = users, not events) —
+    * acceptable at any scale because the window input is the
+    * aggregate, never the fact table. */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("monetary"))
+    p.select(col("user_id"),
+      ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id")))
+        .cast("long").as("r_quintile"),
+      ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+        .cast("long").as("f_quintile"),
+      ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
+        .cast("long").as("m_quintile"),
+      col("freq"), col("monetary"))
+  }
+
+  /** Shannon entropy of each user's event-type distribution — the
+    * behavioral-diversity / label-balance metric. Two tiny grouped
+    * aggregates; the per-user totals come back via the same user-keyed
+    * exchange. The -Σ p·ln p expression is the same text on both
+    * engines. */
+  def aggEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("user_id").agg(sum("n").as("tn"))
+    cnt.join(tot, "user_id")
+      .groupBy(col("user_id"), col("tn").cast("long").as("n_events"))
+      .agg(expr("ROUND(-SUM((n / tn) * LN(n / tn)), 4)").as("entropy"))
+      .select("user_id", "n_events", "entropy")
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rfm" -> (eventsRfm _),
+    "agg_entropy" -> (aggEntropy _),
     "win_topk_heap" -> (winTopkHeap _),
     "agg_regression" -> (aggRegression _),
     "events_transitions" -> (eventsTransitions _),
@@ -209,6 +251,24 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "events_rfm" ->
+      """WITH p AS (SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |             COUNT(*) AS freq,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id) AS BIGINT) AS r_quintile,
+        |  CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_quintile,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quintile,
+        |  freq, monetary
+        |FROM p""".stripMargin,
+    "agg_entropy" ->
+      """WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1,2),
+        |tot AS (SELECT user_id, SUM(n) AS tn FROM cnt GROUP BY 1)
+        |SELECT c.user_id, CAST(t.tn AS BIGINT) AS n_events,
+        |       ROUND(-SUM((c.n / t.tn) * LN(c.n / t.tn)), 4) AS entropy
+        |FROM cnt c JOIN tot t ON c.user_id = t.user_id
+        |GROUP BY c.user_id, t.tn""".stripMargin,
     "win_topk_heap" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -668,7 +668,42 @@ object LlmText {
       array_min(transform(shingles(t), sh => md5(sh))).as("min_shingle_md5"))
   }
 
+  /** Shingle CONTAINMENT (asymmetric Jaccard): |A∩B|/|A| and /|B| for
+    * blocked candidate pairs — the contamination/sub-document-dup
+    * measure (a small doc fully inside a big one scores ~1.0 where
+    * symmetric Jaccard stays low). Same int64-hashed shingle path and
+    * same-source + shared-shingle blocking as `llm_ngram_jaccard`; the
+    * filter keeps pairs where either direction ≥ 0.5. */
+  def textContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingleSet(rawShingles(s, dir)).persist()
+    try {
+      val cands = sh.as("a")
+        .join(sh.as("b"),
+          col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cands
+        .join(sh.select("doc_id", "sh").as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.select("doc_id", "sh").as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(szs.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(szs.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .filter(greatest(col("n_inter") / col("za.n_sh"),
+          col("n_inter") / col("zb.n_sh")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          round(col("n_inter") / col("za.n_sh"), 4).as("cont_a"),
+          round(col("n_inter") / col("zb.n_sh"), 4).as("cont_b"))
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_containment" -> (textContainment _),
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_sigs" -> (minhashSignatures _),
     "llm_minhash_neardup" -> (minhashNearDup _),
@@ -918,6 +953,24 @@ object LlmText {
         |FROM c CROSS JOIN tw
         |WHERE cum_tokens <= 20000.0 * (CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END) / total_w
         |GROUP BY source""".stripMargin,
+    "text_containment" ->
+      s"""WITH $shingleCte,
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM sh a JOIN sh b
+         |            ON a.source = b.source AND a.sh = b.sh
+         |           AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |          FROM cands c
+         |          JOIN sh sa ON sa.doc_id = c.doc_a
+         |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.n_inter,
+         |       ROUND(i.n_inter / za.n_sh, 4) AS cont_a,
+         |       ROUND(i.n_inter / zb.n_sh, 4) AS cont_b
+         |FROM inter i JOIN sizes za ON i.doc_a = za.doc_id
+         |             JOIN sizes zb ON i.doc_b = zb.doc_id
+         |WHERE greatest(i.n_inter / za.n_sh, i.n_inter / zb.n_sh) >= 0.5""".stripMargin,
     "llm_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5,
         |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
