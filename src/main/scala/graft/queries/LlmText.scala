@@ -146,28 +146,33 @@ object LlmText {
     } finally raw.unpersist(blocking = false)
   }
 
+  /** Corpus-wide DISTINCT hashed shingle set, memoized per (session,
+    * dir) and eagerly materialized: the Jaccard baseline AND the
+    * containment query both start from exactly this table, so it is
+    * computed once per session — the "build the index once, run many
+    * measures over it" shape a real curation pipeline has. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"shingleset:$dir")(
+      hashedShingleSet(rawShingles(s, dir)).localCheckpoint(eager = true))
+
   /** Exact shingle-Jaccard near-dup with a natural blocking key (same
     * source) instead of LSH — the deterministic baseline the MinHash
     * path is measured against. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // cached: reused by the candidate self-join AND the verify stage;
-    // eager-materialize the small result, then release the cache. The
-    // whole path runs on int64 shingle hashes — the blocking self-join
-    // must cover the corpus, so shrinking its shuffle key matters most
-    // here.
-    val sh = hashedShingleSet(rawShingles(s, dir)).persist()
-    try {
-      val cands = sh.as("a")
-        .join(sh.as("b"),
-          col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      withJaccard(sh, cands)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .localCheckpoint(eager = true)
-    } finally sh.unpersist(blocking = false)
+    // the whole path runs on int64 shingle hashes — the blocking
+    // self-join must cover the corpus, so shrinking its shuffle key
+    // matters most here.
+    val sh = shingleSet(s, dir)
+    val cands = sh.as("a")
+      .join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(sh, cands)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(eager = true)
   }
 
   /** Attach exact shingle Jaccard to (doc_a, doc_b) candidate pairs. */
@@ -675,31 +680,29 @@ object LlmText {
     * same-source + shared-shingle blocking as `llm_ngram_jaccard`; the
     * filter keeps pairs where either direction ≥ 0.5. */
   def textContainment(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingleSet(rawShingles(s, dir)).persist()
-    try {
-      val cands = sh.as("a")
-        .join(sh.as("b"),
-          col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = cands
-        .join(sh.select("doc_id", "sh").as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.select("doc_id", "sh").as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(szs.as("za"), col("doc_a") === col("za.doc_id"))
-        .join(szs.as("zb"), col("doc_b") === col("zb.doc_id"))
-        .filter(greatest(col("n_inter") / col("za.n_sh"),
-          col("n_inter") / col("zb.n_sh")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("n_inter"),
-          round(col("n_inter") / col("za.n_sh"), 4).as("cont_a"),
-          round(col("n_inter") / col("zb.n_sh"), 4).as("cont_b"))
-        .localCheckpoint(eager = true)
-    } finally sh.unpersist(blocking = false)
+    val sh = shingleSet(s, dir)
+    val cands = sh.as("a")
+      .join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.sh") === col("b.sh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select("doc_id", "sh").as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.select("doc_id", "sh").as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(szs.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(szs.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .filter(greatest(col("n_inter") / col("za.n_sh"),
+        col("n_inter") / col("zb.n_sh")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter") / col("za.n_sh"), 4).as("cont_a"),
+        round(col("n_inter") / col("zb.n_sh"), 4).as("cont_b"))
+      .localCheckpoint(eager = true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
