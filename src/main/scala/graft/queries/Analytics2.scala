@@ -235,9 +235,63 @@ object Analytics2 {
       .select("user_id", "n_events", "entropy")
   }
 
+  /** Ratio-to-report: each order's share of its customer's total — the
+    * window-aggregate (no ORDER BY) reporting idiom. The denominator is
+    * a decimal-pinned sum cast to double, so the division is the same
+    * IEEE op on both engines. */
+  def winRatioToReport(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("o_totalprice")
+          / sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double"), 6).as("share"))
+  }
+
+  /** DAU / WAU / stickiness: daily and weekly distinct actives joined
+    * on the ISO week, ratio per day — the engagement report every
+    * product pipeline ships. Two count-distinct aggregations; the
+    * 30-row daily side joins the 5-row weekly side by broadcast. */
+  def eventsDauWau(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("ts").cast("date").as("day"),
+      col("user_id"))
+    val d = e.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val w = e.select(date_trunc("week", col("day")).cast("date").as("wk"),
+        col("user_id"))
+      .groupBy("wk").agg(countDistinct("user_id").as("wau"))
+    d.join(broadcast(w), date_trunc("week", col("day")).cast("date") === col("wk"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  /** Skewness / excess kurtosis from raw power sums: l_quantity is
+    * integral, so s1..s4 are EXACT integers under any partial-agg
+    * order, and the moment projection is then the same IEEE expression
+    * on both engines — no reliance on either engine's (differing:
+    * population vs sample-corrected) built-in skewness/kurtosis. One
+    * map-side-combinable aggregation pass. */
+  def aggSkewKurt(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_moments_lineitem")
+    s.sql(
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |             SUM(l_quantity) AS s1, SUM(l_quantity*l_quantity) AS s2,
+        |             SUM(l_quantity*l_quantity*l_quantity) AS s3,
+        |             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+        |           FROM graft_moments_lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |        / POWER(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew,
+        |  ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |        / POWER(s2/n - (s1/n)*(s1/n), 2) - 3, 4) AS ex_kurt
+        |FROM s""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ratio_to_report" -> (winRatioToReport _),
+    "events_dau_wau" -> (eventsDauWau _),
+    "agg_skew_kurt" -> (aggSkewKurt _),
     "events_rfm" -> (eventsRfm _),
     "agg_entropy" -> (aggEntropy _),
     "win_topk_heap" -> (winTopkHeap _),
@@ -251,6 +305,31 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "win_ratio_to_report" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+        |FROM orders""".stripMargin,
+    "events_dau_wau" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+        |           FROM events GROUP BY 1),
+        |w AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+        |        COUNT(DISTINCT user_id) AS wau
+        |      FROM events GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau, ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+        |FROM d JOIN w ON CAST(date_trunc('week', d.day) AS DATE) = w.wk""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |             SUM(l_quantity) AS s1, SUM(l_quantity*l_quantity) AS s2,
+        |             SUM(l_quantity*l_quantity*l_quantity) AS s3,
+        |             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |        / POWER(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew,
+        |  ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |        / POWER(s2/n - (s1/n)*(s1/n), 2) - 3, 4) AS ex_kurt
+        |FROM s""".stripMargin,
     "events_rfm" ->
       """WITH p AS (SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
         |             COUNT(*) AS freq,
