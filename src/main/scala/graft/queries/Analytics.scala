@@ -253,9 +253,29 @@ object Analytics {
           .as("sum_value"))
   }
 
+  /** Partitioned-parquet sink + partition-pruned read-back: orders are
+    * written partitioned by priority, then read with a partition
+    * predicate — the layout that turns a filter into "skip whole
+    * directories" at 100 TB (PlanShapeSpec pins the PartitionFilters
+    * plan shape). The oracle filters the flat parquet, so a row landing
+    * in the wrong partition fails the hash. */
+  def scanPartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir") + "/graft_part_roundtrip"
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("tot"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partitioned_roundtrip" -> (scanPartitionedRoundtrip _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "scan_jsonl_roundtrip" -> (scanJsonlRoundtrip _),
     "events_sessionize" -> (eventsSessionize _),
@@ -267,6 +287,11 @@ object Analytics {
     "etl_dq_rules" -> (etlDqRules _))
 
   val oracle: Map[String, String] = Map(
+    "scan_partitioned_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin,
     "scan_csv_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
         |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,

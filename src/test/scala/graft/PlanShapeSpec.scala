@@ -47,4 +47,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortAggregate"),
       "numeric band-min regressed to SortAggregate (string agg buffer?)")
   }
+
+  test("scan_partitioned_roundtrip: read side prunes partitions") {
+    val p = physical("scan_partitioned_roundtrip")
+    assert(p.contains("PartitionFilters: [") &&
+      (p.contains("o_orderpriority#") || p.contains("o_orderpriority IN")),
+      s"priority predicate did not become a partition filter:\n$p")
+  }
 }
