@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(TopKRewriteRule)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim",
