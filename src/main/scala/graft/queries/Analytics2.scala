@@ -286,9 +286,58 @@ object Analytics2 {
         |FROM s""".stripMargin)
   }
 
+  /** Top-20 three-step event-type paths: double `lead` over each
+    * user's stream, then a count — path/journey mining one window pass
+    * deep (both leads share the same sort). */
+  def eventsPathTop3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Deterministic per-group mode: counts then a total-order pick
+    * (count desc, value asc) — both engines' built-in `mode` leaves
+    * ties unspecified, so the idiom is spelled out. */
+  def aggModeDet(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(desc("n"), col("l_quantity"))
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("n").as("mode_count"))
+  }
+
+  /** Unigram log-probability quality score (perplexity proxy): each
+    * doc's mean -ln p(token) under the corpus unigram model — the
+    * cheap LM-quality filter run before an expensive model-based one.
+    * The unigram table is corpus-wide but tiny (vocab-sized) — it
+    * broadcasts back to the exploded token stream. */
+  def llmLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum("n").as("nt"))
+    tok.join(broadcast(uni), "t").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("ROUND(-SUM(LN(n / nt)) / COUNT(*), 4)").as("avg_neg_logprob"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_path_top3" -> (eventsPathTop3 _),
+    "agg_mode_det" -> (aggModeDet _),
+    "llm_logprob" -> (llmLogprob _),
     "win_ratio_to_report" -> (winRatioToReport _),
     "events_dau_wau" -> (eventsDauWau _),
     "agg_skew_kurt" -> (aggSkewKurt _),
@@ -305,6 +354,28 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "events_path_top3" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type FROM events),
+        |p AS (SELECT event_type AS e1,
+        |        LEAD(event_type, 1) OVER w AS e2, LEAD(event_type, 2) OVER w AS e3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1,2,3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "agg_mode_det" ->
+      """WITH cnt AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1,2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY n DESC, l_quantity) AS rk FROM cnt)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+        |FROM r WHERE rk = 1""".stripMargin,
+    "llm_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nt FROM uni)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |       ROUND(-SUM(LN(uni.n / tot.nt)) / COUNT(*), 4) AS avg_neg_logprob
+        |FROM tok JOIN uni ON tok.t = uni.t CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "win_ratio_to_report" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
