@@ -332,9 +332,29 @@ object Analytics2 {
         expr("ROUND(-SUM(LN(n / nt)) / COUNT(*), 4)").as("avg_neg_logprob"))
   }
 
+  /** Winsorization: clamp values to their group's [p01, p99] before
+    * aggregating — the outlier-robust cleaning step for metrics (and
+    * the numeric analog of llm_length_filter's quality gate). The
+    * percentile bounds are one row per type, broadcast back; the fact
+    * side clamps and aggregates without shuffling. */
+  def llmWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val b = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+    e.join(broadcast(b), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(least(greatest(col("value"), col("lo")), col("hi"))), 2)
+          .as("winsorized_sum"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_winsorize" -> (llmWinsorize _),
     "events_path_top3" -> (eventsPathTop3 _),
     "agg_mode_det" -> (aggModeDet _),
     "llm_logprob" -> (llmLogprob _),
@@ -354,6 +374,17 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "llm_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |             quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       ROUND(SUM(least(greatest(e.value, b.lo), b.hi)), 2) AS winsorized_sum
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type""".stripMargin,
     "events_path_top3" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type FROM events),
         |p AS (SELECT event_type AS e1,
