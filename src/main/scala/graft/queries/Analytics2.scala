@@ -351,9 +351,40 @@ object Analytics2 {
           .as("winsorized_sum"))
   }
 
+  /** Surrogate-key assignment: deterministic dense integer keys for a
+    * dimension (region, nation) via dense_rank over the natural order —
+    * the warehouse dimension-build step that replaces source keys. */
+  def etlSurrogateKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("r_name", "n_name")
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"),
+        dense_rank().over(w).cast("long").as("dim_key"))
+  }
+
+  /** Mergeable-sketch rollup: per-day AND overall distinct users from
+    * ONE pass via ROLLUP + approx_count_distinct — the property that
+    * matters at 100 TB is that HLL sketches MERGE (the overall row is
+    * the union of the day sketches, not a second scan). Graded like
+    * the other sketch queries: the oracle emits exact counts and the
+    * query proves the estimate lands within the rsd envelope. */
+  def aggHllRollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_hll_events")
+    s.sql(
+      """SELECT COALESCE(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS day,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  (approx_count_distinct(user_id) BETWEEN
+        |     CAST(COUNT(DISTINCT user_id) * 0.85 AS BIGINT)
+        |     AND CAST(COUNT(DISTINCT user_id) * 1.15 AS BIGINT)) AS hll_ok
+        |FROM graft_hll_events GROUP BY ROLLUP(CAST(ts AS DATE))""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_surrogate_key" -> (etlSurrogateKey _),
+    "agg_hll_rollup" -> (aggHllRollup _),
     "llm_winsorize" -> (llmWinsorize _),
     "events_path_top3" -> (eventsPathTop3 _),
     "agg_mode_det" -> (aggModeDet _),
@@ -374,6 +405,15 @@ object Analytics2 {
     "etl_ohlc_resample" -> (etlOhlcResample _))
 
   val oracle: Map[String, String] = Map(
+    "etl_surrogate_key" ->
+      """SELECT n_name, r_name,
+        |  CAST(DENSE_RANK() OVER (ORDER BY r_name, n_name) AS BIGINT) AS dim_key
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "agg_hll_rollup" ->
+      """SELECT COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY ROLLUP(CAST(ts AS DATE))""".stripMargin,
     "llm_winsorize" ->
       """WITH b AS (SELECT event_type,
         |             quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
