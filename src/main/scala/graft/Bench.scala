@@ -12,8 +12,43 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * behavior (a fast query that shuffles the world is a scale bug).
   * Listener events are async; totals are settled with a short drain and
   * are per-query approximate, cumulative-exact.
+  *
+  * Output discipline: the harness that collects this line keeps only the
+  * LAST ~2000 characters of the run's output. With 140+ registered
+  * queries a full per-query map is ~3.3k chars and the line gets
+  * truncated into unparseability. So stdout carries the contract line
+  * with a headline subset of queries, greedily widened while the line
+  * stays under budget; the COMPLETE per-query timing + shuffle detail
+  * goes to `bench_detail.json` in the working directory and to stderr.
+  * `value` is always the total across ALL queries, not just the subset.
   */
 object Bench {
+
+  /** Representative queries, one-per-family first so truncation never
+    * drops a whole operator family. Names absent from the registry are
+    * skipped, so renames can't break the bench. */
+  private val headline: Seq[String] = Seq(
+    "q1_agg", "etl_stock_pipeline", "join_inner_star", "join_asof",
+    "join_salted", "join_interval", "join_semi", "join_anti",
+    "agg_median", "agg_hll_rollup", "agg_cms", "agg_grouping_sets",
+    "agg_stats", "win_topk_heap", "win_moving_avg", "win_lag_lead",
+    "win_cumsum", "sort_topn", "setop_union_all", "setop_multiset",
+    "scan_csv_roundtrip", "scan_partitioned_roundtrip", "json_extract",
+    "array_ops", "scalar_math", "subq_correlated", "udaf_vwap",
+    "udf_magnitude_sql", "udtf_posexplode", "etl_scd2", "etl_upsert",
+    "etl_gapfill", "events_funnel", "events_sessionize",
+    "events_retention", "stream_tumbling", "stream_session",
+    "stream_stream_join", "stream_stateful_anomaly", "llm_exact_dedup",
+    "llm_minhash_neardup", "llm_minhash_sigs", "llm_simhash_neardup",
+    "llm_ngram_jaccard", "llm_embed_neardup", "llm_cosine_topk",
+    "llm_ann_ivf", "llm_semdedup", "llm_decontaminate", "llm_tfidf",
+    "llm_kmeans_train", "llm_pipeline_e2e", "llm_stratified_split",
+    "text_langid", "text_quality", "text_tokens", "text_pii_mask",
+    "mm_features", "mm_resize", "mm_frame_sample")
+
+  /** Keep the final stdout line comfortably inside the collector's
+    * 2000-char tail (sbt appends its own "[success] …" trailer). */
+  private val lineBudget = 1750
 
   private class Metrics extends SparkListener {
     val shuffleRead = new AtomicLong; val shuffleWrite = new AtomicLong
@@ -52,7 +87,8 @@ object Bench {
         metrics.spilled.get - s0)
     }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val secByName = results.map { case (k, v, _, _, _, _) => k -> v }.toMap
+    val qsAll = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val shuffle = results
       .map { case (k, _, _, r, w, s) =>
@@ -61,14 +97,38 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    // The driver contract is ONE JSON line with exactly these keys and a
-    // numeric sf — extras (per-query shuffle attribution, failures) go to
-    // stderr so a strict line parser can't choke on them.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    System.err.println(
-      s"""[bench-detail] {"failed":$failed,"shuffle":$shuffle,"dir":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+
+    // Full detail: every query's seconds, shuffle attribution, failures.
+    val detail =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsAll,""" +
+        s""""shuffle":$shuffle,"failed":$failed,"sf":$sfNum,"dir":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    System.err.println(s"[bench-detail] $detail")
+
+    // Contract line: headline queries first, then the rest alphabetically,
+    // adding entries only while the line stays under budget.
+    val ordered =
+      headline.filter(secByName.contains) ++
+        results.map(_._1).filterNot(headline.contains)
+    val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":$sfNum}"""
+    val fixed = prefix.length + suffix.length
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = fixed
+    ordered.foreach { k =>
+      val e = "\"" + k + "\":" + f"${secByName(k)}%.3f"
+      val add = e.length + (if (entries.isEmpty) 0 else 1)
+      if (len + add <= lineBudget) { entries += e; len += add }
+    }
+    println(prefix + entries.mkString(",") + suffix)
     spark.stop()
   }
 }
