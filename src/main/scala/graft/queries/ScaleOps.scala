@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** Scale-layout operators: bucketed co-located joins, banded range
+  * joins, columnar-format round-trips, and embedding quantization —
+  * the physical-layout tools that decide whether a 100 TB job shuffles
+  * the world or nothing at all.
+  *
+  *  - `join_bucketed`: both join sides persisted bucketed+sorted on the
+  *    join key, so the join needs NO exchange — at 100 TB this is the
+  *    difference between a petabyte shuffle and a local merge per
+  *    bucket (BucketedJoinSpec pins the zero-Exchange plan).
+  *  - `join_band`: |t_a - t_b| <= d with no equi key, made hash-joinable
+  *    by quantizing time into d-width buckets and exploding one side to
+  *    its 3 candidate buckets (same family as
+  *    graft.operators.IntervalJoin — reference has no banded joins; its
+  *    per-symbol append loop is stock_data_scraper.py:310-333).
+  *  - `scan_orc_roundtrip`: ORC sink + source (SURVEY §2B scans/sinks).
+  *  - `llm_quantize_int8`: per-vector symmetric int8 quantization of
+  *    the embedding column — 4x memory cut for ANN shortlists; the
+  *    engine-neutral outputs (exact quantized-integer sums + a
+  *    reconstruction-error bound) are the SemDeDup/IVF storage story.
+  */
+object ScaleOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def d18(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def d8(c: Column): Column = c.cast(DecimalType(8, 4))
+  private def dsum2(c: Column): Column = round(sum(c), 2).cast(DoubleType)
+
+  /** Bucket count for persisted co-located layouts. At 100 TB this
+    * would be sized so each bucket is a few hundred MB (e.g. 4096);
+    * the zero-exchange plan shape is identical. */
+  private val buckets = 8
+
+  /** Write orders+lineitem bucketed AND sorted by order key, then join
+    * the bucketed tables. With matching bucket counts Spark plans a
+    * sort-merge join with no Exchange on either side: the shuffle is
+    * paid once at layout time, then amortized over every future join.
+    * coalesce(1) before the bucketed write yields one file per bucket,
+    * which also lets the scan reuse the on-disk sort order. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir")
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/graft_bkt_orders")
+      .saveAsTable("graft_bkt_orders")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/graft_bkt_lineitem")
+      .saveAsTable("graft_bkt_lineitem")
+    val o = s.table("graft_bkt_orders")
+    val l = s.table("graft_bkt_lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+          .as("revenue"),
+        dsum2(d18(col("l_quantity"))).as("sum_qty"))
+  }
+
+  /** Band width for the keyless time join, in microseconds (±5 min). */
+  private val bandUs = 300000000L
+
+  /** Keyless band join: for every anomalous event (value > 320), count
+    * and sum the OTHER events within ±5 minutes — with no key linking
+    * the two sides. A naive formulation is a cartesian product; here
+    * time is quantized into band-width buckets and the anomaly side is
+    * exploded to its 3 candidate buckets, so the planner gets an
+    * equality and builds a hash join. Candidate pairs are filtered by
+    * the exact |Δt| predicate inside the join condition (a LEFT join,
+    * so a lonely anomaly still reports n_nearby = 0). Each non-anomaly
+    * event has exactly one bucket, so no pair can match twice. */
+  def joinBand(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val ab = expr(s"us div $bandUs")
+    val a = e.filter(col("value") > 320)
+      .select(col("event_id").as("a_id"), col("us").as("a_us"),
+        explode(array(ab - 1, ab, ab + 1)).as("bucket"))
+    val b = e.select(col("event_id").as("b_id"), col("us").as("b_us"),
+      col("value").as("b_value"), expr(s"us div $bandUs").as("bucket"))
+    val cond = a("bucket") === b("bucket") && b("b_id") =!= a("a_id") &&
+      abs(b("b_us") - a("a_us")) <= bandUs
+    a.join(b, cond, "left")
+      .groupBy(a("a_id").as("event_id"))
+      .agg(
+        count(b("b_id")).as("n_nearby"),
+        sum(b("b_value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_nearby"))
+  }
+
+  /** ORC sink + source round-trip (same shape as the CSV/JSONL
+    * round-trips so the three formats are directly comparable): write
+    * events to ORC, read it back, aggregate. The oracle aggregates the
+    * original parquet, so any loss in the round-trip fails the hash. */
+  def scanOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir") + "/graft_orc_roundtrip"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("us").as("first_us"), max("us").as("last_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+  }
+
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * q_i = clamp(floor(x_i/scale + 0.5), ±127). Engine-neutral
+    * determinism: quantized values are exact small integers (summed as
+    * BIGINT), floor(x + 0.5) sidesteps both engines' round() midpoint
+    * rules, and the reconstruction error is the expanded
+    * Σx² − 2s·Σxq + s²·Σq² with identical per-term fold order. */
+  def llmQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast(DoubleType))
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), emb.as("emb"))
+      .withColumn("scale",
+        array_max(transform(col("emb"), x => abs(x))) / lit(127.0))
+    val qv = transform(col("emb"), x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x / col("scale") + lit(0.5)).cast(DoubleType))))
+    val dot = (u: Column, v: Column) =>
+      aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    base.withColumn("qv", qv)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("qv"), lit(0.0), (acc, v) => acc + v).cast("long")
+          .as("q_sum"),
+        aggregate(col("qv"), lit(0.0), (acc, v) => acc + abs(v)).cast("long")
+          .as("q_l1"),
+        round(
+          dot(col("emb"), col("emb"))
+            - lit(2.0) * col("scale") * dot(col("emb"), col("qv"))
+            + col("scale") * col("scale") * dot(col("qv"), col("qv")),
+          9).as("err"))
+  }
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> (joinBucketed _),
+    "join_band" -> (joinBand _),
+    "scan_orc_roundtrip" -> (scanOrcRoundtrip _),
+    "llm_quantize_int8" -> (llmQuantizeInt8 _))
+
+  val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_band" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |a AS (SELECT * FROM e WHERE value > 320)
+        |SELECT a.event_id, COUNT(b.event_id) AS n_nearby,
+        |  CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_nearby
+        |FROM a LEFT JOIN e b
+        |  ON b.event_id <> a.event_id AND abs(b.us - a.us) <= 300000000
+        |GROUP BY a.event_id""".stripMargin,
+    "scan_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "llm_quantize_int8" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x)))/127.0 AS scale FROM b),
+        |q AS (SELECT vec_id, scale, emb,
+        |        list_transform(emb, x -> GREATEST(-127.0, LEAST(127.0, FLOOR(x/scale + 0.5)))) AS qv
+        |      FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale_r,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+        |  ROUND(list_sum(list_transform(emb, x -> x*x))
+        |    - 2*scale*list_sum(list_transform(list_zip(emb, qv), p -> p[1]*p[2]))
+        |    + scale*scale*list_sum(list_transform(qv, v -> v*v)), 9) AS err
+        |FROM q""".stripMargin)
+}

@@ -19,6 +19,27 @@ object Probe {
           df.printSchema()
           df.show(3, truncate = 60)
         }
+      // Subset correctness dump: like graft.Verify but only for the
+      // named queries (comma-separated) — pair with
+      // `tools/oracle_check.py <dir> <out> <only>` for fast iteration.
+      case "dump" :: dir :: out :: names :: Nil =>
+        new java.io.File(out).mkdirs()
+        val wanted = names.split(',').toSet
+        wanted.foreach { n =>
+          graft.SparkEntry.queries(n)(spark, dir)
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/$n")
+        }
+        def q(s: String): String = "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val json = graft.SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
       case "explain" :: dir :: name :: Nil =>
         graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
       case "time" :: dir :: name :: reps =>

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan + semantics pins for the graded scale-layout queries
+  * (graft.queries.ScaleOps). */
+class ScaleQueriesSpec extends SparkTestBase {
+
+  test("join_bucketed plans with no shuffle exchange below the join") {
+    val df = graft.queries.ScaleOps.joinBucketed(spark, sf)
+    // The final small-cardinality aggregation exchange is expected; the
+    // scale claim is about the JOIN subtree: both sides must flow from
+    // bucketed scans into the join without a shuffle.
+    // (AQE wraps the plan pre-execution, so inspect the printed tree:
+    // everything from the join line down is the join's subtree.)
+    val plan0 = df.queryExecution.executedPlan.toString
+    val atJoin = plan0.substring(plan0.indexOf("Join"))
+    assert(plan0.contains("Join"), plan0)
+    assert(!atJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles the join sides:\n$atJoin")
+    assert(df.count() > 0)
+
+    // With broadcast off the same bucketed tables must sort-merge join
+    // with ZERO exchanges anywhere — the pure co-located layout.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = spark.table("graft_bkt_orders")
+      val l = spark.table("graft_bkt_lineitem")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-located SMJ should have no exchange at all:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("join_band plans a hash join, never a nested-loop/cartesian") {
+    val df = graft.queries.ScaleOps.joinBand(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band join fell back to an all-pairs plan:\n$plan")
+  }
+
+  test("join_band matches the naive theta join exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.core.Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val a = e.filter(col("value") > 320)
+      .select(col("event_id").as("a_id"), col("us").as("a_us"))
+    val b = e.select(col("event_id").as("b_id"), col("us").as("b_us"),
+      col("value").as("b_value"))
+    val naive = a.join(b,
+        b("b_id") =!= a("a_id") &&
+          abs(b("b_us") - a("a_us")) <= 300000000L, "left")
+      .groupBy(col("a_id").as("event_id"))
+      .agg(count(col("b_id")).as("n_nearby"),
+        round(sum(col("b_value")), 2).as("sum_nearby"))
+      .collect().map(_.mkString("|")).sorted
+    val banded = graft.queries.ScaleOps.joinBand(spark, dir)
+      .select(col("event_id"), col("n_nearby"),
+        round(col("sum_nearby"), 2).as("sum_nearby"))
+      .collect().map(_.mkString("|")).sorted
+    assert(banded.sameElements(naive) && banded.nonEmpty)
+  }
+
+  test("llm_quantize_int8 stays in int8 range and reconstructs tightly") {
+    val df = graft.queries.ScaleOps.llmQuantizeInt8(spark, sf)
+    val rows = df.agg(
+      max(greatest(abs(col("q_sum")), col("q_l1"))).as("max_mag"),
+      max(col("err")).as("max_err"), count(lit(1)).as("n")).head()
+    // 64 dims × 127 bounds the L1; per-element error is ≤ (scale/2)^2
+    assert(rows.getLong(0) <= 64L * 127)
+    assert(rows.getDouble(1) < 1e-3, s"reconstruction error too large: $rows")
+    assert(rows.getLong(2) > 0)
+    val offRange = graft.queries.ScaleOps.llmQuantizeInt8(spark, sf)
+      .filter(col("q_l1") > 64L * 127 || col("q_l1") < 0).count()
+    assert(offRange == 0)
+  }
+
+  test("scan_orc_roundtrip preserves counts through the ORC sink") {
+    val df = graft.queries.ScaleOps.scanOrcRoundtrip(spark, sf)
+    val total = df.agg(sum("n")).head().getLong(0)
+    val expected = graft.core.Tables.load(spark, sf, "events").count()
+    assert(total == expected)
+  }
+}
