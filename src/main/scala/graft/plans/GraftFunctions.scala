@@ -47,6 +47,19 @@ object GraftFunctions {
         CountMinSketch(exprs(0), lits(0), lits(1).toInt, lits(2).toInt)
           .toAggregateExpression()
       }, "built-in")
+    registry.createOrReplaceTempFunction(
+      "heavy_hitters", exprs => {
+        require(exprs.length == 2,
+          "heavy_hitters(key, k) takes exactly 2 arguments")
+        require(exprs(1).foldable,
+          s"heavy_hitters k must be a literal, got: ${exprs(1).sql}")
+        val kk = exprs(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters k must be numeric, got $other")
+        }
+        MisraGries(exprs(0), kk).toAggregateExpression()
+      }, "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -155,13 +155,101 @@ object ScaleOps {
           9).as("err"))
   }
 
+  /** Exact heavy hitters cross-checked against the native Misra-Gries
+    * sketch ([[graft.plans.MisraGries]]): keys with > 1/8 of all events.
+    * The MG candidate set beyond the guarantee is merge-order dependent,
+    * so the graded output emits only order-independent facts — exact
+    * counts, plus `in_sketch` for keys the sketch PROVABLY retains
+    * (freq > n/8 > n/(k+1) with k=8 counters); the oracle emits literal
+    * TRUE. An in_sketch=false row is a real sketch bug, not noise. */
+  def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val tot = e.agg(count(lit(1)).as("total"))
+    val cands = e.agg(expr("heavy_hitters(event_type, 8)").as("cands"))
+    e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(cands))
+      .filter(col("cnt") > col("total") / lit(8.0))
+      .select(col("event_type"), col("cnt"),
+        array_contains(col("cands"), col("event_type")).as("in_sketch"))
+  }
+
+  /** Small-file compaction: the events table is first written as 64
+    * deliberately-tiny files (the "small files problem" a long-running
+    * ingest accumulates — at 100 TB, millions of KB-sized files turn
+    * listing and task scheduling into the bottleneck), then compacted
+    * to 4 right-sized files. The graded output proves both layout
+    * (exactly 4 distinct files read back) and content (count + decimal
+    * sum must match the original table). */
+  def etlCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir")
+    val small = s"$tmp/graft_compact_small"
+    val big = s"$tmp/graft_compact_big"
+    t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(64).write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartition(4).write.mode("overwrite").parquet(big)
+    s.read.parquet(big)
+      .select(input_file_name().as("f"), col("value"))
+      .agg(
+        countDistinct(col("f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+  }
+
+  /** 16-bit Morton spread: insert a zero bit between consecutive bits
+    * of the low 16 bits (x | x<<8 & mask … the classic magic-number
+    * cascade), entirely in codegen'd bit expressions. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (z-curve) interleave of two 16-bit values: a's bits land in
+    * even positions, b's in odd. */
+  def morton(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-order layout: lineitem rewritten globally sorted by the Morton
+    * code of (l_partkey, l_suppkey), then read back with a 2-D range
+    * predicate. Sorting by the z-value makes parquet row-group min/max
+    * stats tight on BOTH dimensions at once, so a 2-D selective read
+    * skips most row groups — the multi-column clustering trick a 100 TB
+    * table needs when no single sort column serves every query. The
+    * oracle filters the unsorted original, so the layout rewrite must
+    * be content-preserving. */
+  def scanZorder(s: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir") + "/graft_zorder"
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice")
+      .withColumn("z", morton(col("l_partkey"), col("l_suppkey")))
+      .orderBy("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(10, 40))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum2(d18(col("l_quantity"))).as("sum_qty"),
+        dsum2(d18(col("l_extendedprice"))).as("sum_price"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bucketed" -> (joinBucketed _),
     "join_band" -> (joinBand _),
     "scan_orc_roundtrip" -> (scanOrcRoundtrip _),
-    "llm_quantize_int8" -> (llmQuantizeInt8 _))
+    "llm_quantize_int8" -> (llmQuantizeInt8 _),
+    "agg_heavy_hitters" -> (aggHeavyHitters _),
+    "etl_compact" -> (etlCompact _),
+    "scan_zorder" -> (scanZorder _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -196,5 +284,20 @@ object ScaleOps {
         |  ROUND(list_sum(list_transform(emb, x -> x*x))
         |    - 2*scale*list_sum(list_transform(list_zip(emb, qv), p -> p[1]*p[2]))
         |    + scale*scale*list_sum(list_transform(qv, v -> v*v)), 9) AS err
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin,
+    "agg_heavy_hitters" ->
+      """WITH tot AS (SELECT COUNT(*) AS total FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1)
+        |SELECT event_type, cnt, TRUE AS in_sketch
+        |FROM c, tot WHERE cnt > total/8.0""".stripMargin,
+    "etl_compact" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
+    "scan_zorder" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""".stripMargin)
 }
