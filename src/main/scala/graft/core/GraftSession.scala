@@ -26,6 +26,11 @@ object GraftSession {
       // which vanilla Spark 4.x rejects (PARQUET_TYPE_ILLEGAL). Read the
       // raw int64 nanos and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Always scan bucketed tables bucketed: the DisableUnnecessary-
+      // BucketedScan rule only weighs interesting-distribution reuse,
+      // not bucket PRUNING, so a key-probe on a bucketed table would
+      // otherwise read every bucket (see scan_bucket_pruned).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // Write-side defaults for the 100 TB layout: zstd parquet (best
       // scan-cost/size tradeoff for cold data) — readers are unaffected.
       .config("spark.sql.parquet.compression.codec", "zstd")

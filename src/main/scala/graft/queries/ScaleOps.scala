@@ -240,6 +240,49 @@ object ScaleOps {
         dsum2(d18(col("l_extendedprice"))).as("sum_price"))
   }
 
+  /** Bucket-pruned point lookup: orders persisted bucketed on the key,
+    * then probed with an IN-list of 3 keys. The scan hashes each probe
+    * key to its bucket and reads ONLY those files —
+    * "SelectedBucketsCount: ≤3 out of 8" in the plan (spec-pinned).
+    * At 100 TB with 4096 buckets that's a 1000× read reduction for
+    * key lookups, with no index structure to maintain. */
+  def scanBucketPruned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir")
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/graft_bkt_probe")
+      .saveAsTable("graft_bkt_probe")
+    s.table("graft_bkt_probe")
+      .filter(col("o_orderkey").isin(1, 2, 3))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+          .as("o_totalprice"))
+  }
+
+  /** Incremental rollup maintenance: the month's first half is the
+    * "already materialized" aggregate, the second half the newly
+    * arrived delta; each is partially aggregated separately and the
+    * partials MERGE by addition (count and decimal sums are mergeable).
+    * This is how a 100 TB rollup absorbs a day's data by scanning one
+    * day, not the whole history — and the oracle proves merged partials
+    * are indistinguishable from a full recompute. */
+  def etlIncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    def part(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("pn"), sum(col("v")).as("psum"))
+    part(e.filter(col("d") <= 14))
+      .unionByName(part(e.filter(col("d") >= 15)))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast(DoubleType).as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,7 +292,9 @@ object ScaleOps {
     "llm_quantize_int8" -> (llmQuantizeInt8 _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "etl_compact" -> (etlCompact _),
-    "scan_zorder" -> (scanZorder _))
+    "scan_zorder" -> (scanZorder _),
+    "scan_bucket_pruned" -> (scanBucketPruned _),
+    "etl_incremental_rollup" -> (etlIncrementalRollup _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -299,5 +344,13 @@ object ScaleOps {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""".stripMargin)
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""".stripMargin,
+    "scan_bucket_pruned" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 2, 3)""".stripMargin,
+    "etl_incremental_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -80,6 +80,16 @@ class ScaleQueriesSpec extends SparkTestBase {
     assert(offRange == 0)
   }
 
+  test("scan_bucket_pruned reads only the probed buckets") {
+    val df = graft.queries.ScaleOps.scanBucketPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt == 8,
+      s"expected <=3 of 8 buckets, got ${m.get.group(0)}")
+    assert(df.count() == 3)
+  }
+
   test("scan_orc_roundtrip preserves counts through the ORC sink") {
     val df = graft.queries.ScaleOps.scanOrcRoundtrip(spark, sf)
     val total = df.agg(sum("n")).head().getLong(0)
