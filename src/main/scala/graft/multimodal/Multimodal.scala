@@ -130,10 +130,30 @@ object Multimodal {
       .agg(count(lit(1)).as("n_sampled"),
         sum(length(col("frame"))).as("bytes_sampled"))
 
+  /** Content-addressed blob dedup: hash the opaque media bytes, count
+    * unique blobs and the byte savings of storing each once. At 100 TB
+    * the blobs are the table — dedup-before-decode is the first thing a
+    * multimodal ingest does, and it groups on a 16-byte digest, never
+    * shuffling the blob bytes themselves. */
+  def mmBlobDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perBlob = mediaFromDocuments(s, dir)
+      .select(md5(col("content")).as("h"),
+        length(col("content")).as("len"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"), min(col("len")).as("len"))
+    perBlob.agg(
+      count(lit(1)).as("n_unique"),
+      sum(col("c")).cast("long").as("n_total"),
+      sum(col("len")).cast("long").as("bytes_unique"),
+      sum(col("len") * col("c")).cast("long").as("bytes_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_blob_dedup" -> (mmBlobDedup _))
 
   val oracle: Map[String, String] = Map(
     // ASCII text ⇒ byte value == char code; histogram bin b counts
@@ -165,5 +185,15 @@ object Multimodal {
       """SELECT doc_id AS media_id,
         |  CAST(ceil((length(text) // 32) / 4.0) AS BIGINT) AS n_sampled,
         |  CAST(ceil((length(text) // 32) / 4.0) AS BIGINT) * 32 AS bytes_sampled
-        |FROM documents WHERE length(text) >= 32""".stripMargin)
+        |FROM documents WHERE length(text) >= 32""".stripMargin,
+    // ASCII text ⇒ md5 over chars == md5 over the UTF-8 blob bytes and
+    // LENGTH(chars) == byte length.
+    "mm_blob_dedup" ->
+      """WITH b AS (SELECT md5(text) AS h, COUNT(*) AS c,
+        |             MIN(LENGTH(text)) AS len
+        |           FROM documents GROUP BY 1)
+        |SELECT COUNT(*) AS n_unique, CAST(SUM(c) AS BIGINT) AS n_total,
+        |  CAST(SUM(len) AS BIGINT) AS bytes_unique,
+        |  CAST(SUM(len * c) AS BIGINT) AS bytes_total
+        |FROM b""".stripMargin)
 }

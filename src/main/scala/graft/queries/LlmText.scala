@@ -351,6 +351,40 @@ object LlmText {
         round(col("tfidf_raw"), 4).as("tfidf"))
   }
 
+  /** BM25 term scoring (k1=1.2, b=0.75) — TF-IDF's production
+    * replacement: term saturation via k1 and document-length
+    * normalization via b/avgdl. Same distributed shape as [[tfidf]]
+    * (per-doc TF joined to a broadcast DF/avgdl side); the scored side
+    * is limited to doc_id < 20 while df/avgdl stay corpus-wide, exactly
+    * how a 100 TB corpus scores a slice against global statistics. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val tok = docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tok.filter(col("doc_id") < 20)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avg = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_raw").desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avg))
+      .withColumn("score_raw", idf * (col("tf") * (lit(k1) + 1.0)) / norm)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        round(col("score_raw"), 4).as("bm25"))
+  }
+
   /** PII redaction over the event payloads (the fixture column that
     * actually carries digits): email-shaped then numeric literals →
     * placeholder tokens, plus a redaction count. Pure per-row
@@ -717,6 +751,7 @@ object LlmText {
     "llm_dedup_apply" -> (dedupApply _),
     "llm_cc_altstar" -> (ccAltStar _),
     "llm_tfidf" -> (tfidf _),
+    "llm_bm25" -> (bm25 _),
     "text_pii_mask" -> (piiMask _),
     "llm_stratified_split" -> (stratifiedSplit _),
     "llm_vocab" -> (vocab _),
@@ -859,6 +894,28 @@ object LlmText {
         |             ORDER BY tfidf_raw DESC, term) AS BIGINT) AS rnk
         |      FROM sc)
         |SELECT doc_id, rnk, term, tf, ROUND(tfidf_raw, 4) AS tfidf
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    "llm_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE doc_id < 20 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |avgd AS (SELECT CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term AS term, tf,
+        |         LN(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+        |           * (tf * (1.2 + 1.0))
+        |           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score_raw
+        |       FROM tf JOIN dfreq ON tf.term = dfreq.term
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN n CROSS JOIN avgd),
+        |r AS (SELECT doc_id, term, tf, score_raw,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY score_raw DESC, term) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, rnk, term, tf, ROUND(score_raw, 4) AS bm25
         |FROM r WHERE rnk <= 3""".stripMargin,
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
