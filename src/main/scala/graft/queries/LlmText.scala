@@ -385,6 +385,34 @@ object LlmText {
         round(col("score_raw"), 4).as("bm25"))
   }
 
+  /** Bigram language-model scoring with add-0.5 smoothing: the
+    * two-token upgrade of the unigram [[logprob]] quality proxy —
+    * P(w2|w1) = (c(w1w2)+0.5)/(c(w1)+0.5·V), score = mean ln P over
+    * the doc's bigrams. Counts are corpus-wide exact integers; only
+    * the scored slice (doc_id < 50) joins them back, so at 100 TB the
+    * LM table builds once and scoring stays a slice-sized join. */
+  def ngramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tok = d.select(explode(col("t")).as("term"))
+    val c1 = tok.groupBy("term").agg(count(lit(1)).as("c1"))
+    val v = tok.agg(countDistinct(col("term")).as("v"))
+    bi.filter(col("doc_id") < 50)
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, bi("w1") === c1("term"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + lit(0.5)) /
+          (col("c1") + lit(0.5) * col("v")))), 6).as("score"))
+  }
+
   /** PII redaction over the event payloads (the fixture column that
     * actually carries digits): email-shaped then numeric literals →
     * placeholder tokens, plus a redaction count. Pure per-row
@@ -752,6 +780,7 @@ object LlmText {
     "llm_cc_altstar" -> (ccAltStar _),
     "llm_tfidf" -> (tfidf _),
     "llm_bm25" -> (bm25 _),
+    "llm_ngram_lm" -> (ngramLm _),
     "text_pii_mask" -> (piiMask _),
     "llm_stratified_split" -> (stratifiedSplit _),
     "llm_vocab" -> (vocab _),
@@ -917,6 +946,21 @@ object LlmText {
         |      FROM sc)
         |SELECT doc_id, rnk, term, tf, ROUND(score_raw, 4) AS bm25
         |FROM r WHERE rnk <= 3""".stripMargin,
+    "llm_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+        |         i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS b
+        |       FROM d WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        |tok AS (SELECT unnest(t) AS term FROM d),
+        |c1 AS (SELECT term, COUNT(*) AS c1 FROM tok GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM tok)
+        |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(LN((c2 + 0.5)/(c1 + 0.5*v))), 6) AS score
+        |FROM bi JOIN c2 USING (w1, w2) JOIN c1 ON bi.w1 = c1.term
+        |CROSS JOIN v
+        |WHERE bi.doc_id < 50 GROUP BY bi.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
