@@ -289,6 +289,39 @@ object ScaleOps {
         sum(col("psum")).cast(DoubleType).as("sum_value"))
   }
 
+  /** Dynamic partition pruning: the fact side is laid out partitioned
+    * by return-flag; the dim side is a tiny flag table filtered at
+    * runtime. Spark plants a `dynamicpruning` subquery on the fact
+    * scan's PartitionFilters, so only the partitions matching the
+    * filtered dim are read — the static-pruning complement for filters
+    * that only exist on the OTHER side of a join. At 100 TB with
+    * date-partitioned facts and a filtered date dim, this is the
+    * difference between scanning 3 days and scanning 10 years.
+    * (ScaleQueriesSpec pins the dynamicpruning plan shape.) */
+  def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = sys.props("java.io.tmpdir") + "/graft_dpp_lineitem"
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    // The dim must be file-backed with a positively-selective filter:
+    // an in-memory dim's Filter is constant-folded into the
+    // LocalRelation before the PartitionPruning rule looks for it, and
+    // Not(=) predicates don't count as selective.
+    val dimPath = sys.props("java.io.tmpdir") + "/graft_dpp_dim"
+    Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+      .toDF("flag", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+      .filter(col("label").isin("returned", "refunded"))
+    s.read.parquet(path)
+      .join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("l_returnflag", "label")
+      .agg(count(lit(1)).as("n"),
+        dsum2(d18(col("l_quantity"))).as("sum_qty"),
+        dsum2(d18(col("l_extendedprice"))).as("sum_price"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -300,7 +333,8 @@ object ScaleOps {
     "etl_compact" -> (etlCompact _),
     "scan_zorder" -> (scanZorder _),
     "scan_bucket_pruned" -> (scanBucketPruned _),
-    "etl_incremental_rollup" -> (etlIncrementalRollup _))
+    "etl_incremental_rollup" -> (etlIncrementalRollup _),
+    "join_dpp" -> (joinDpp _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -358,5 +392,12 @@ object ScaleOps {
     "etl_incremental_rollup" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "join_dpp" ->
+      """WITH dim(flag, label) AS (VALUES ('A', 'returned'), ('R', 'refunded'))
+        |SELECT l_returnflag, label, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN dim ON l_returnflag = flag
+        |GROUP BY l_returnflag, label""".stripMargin)
 }

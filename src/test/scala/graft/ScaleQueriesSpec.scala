@@ -90,6 +90,14 @@ class ScaleQueriesSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("join_dpp plants a dynamic partition pruning subquery on the fact scan") {
+    val df = graft.queries.ScaleOps.joinDpp(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    assert(df.count() == 2)
+  }
+
   test("scan_orc_roundtrip preserves counts through the ORC sink") {
     val df = graft.queries.ScaleOps.scanOrcRoundtrip(spark, sf)
     val total = df.agg(sum("n")).head().getLong(0)
