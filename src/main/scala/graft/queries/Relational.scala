@@ -627,6 +627,23 @@ object Relational {
       lead(col("o_totalprice"), 2, -1.0).over(w).as("lead2_dflt"))
   }
 
+  /** Distinct count over a sliding row frame — Spark has no
+    * COUNT(DISTINCT) OVER, so the frame collects into a set and takes
+    * its size: per event, how many distinct event types the user's
+    * last 5 events span. Set size is bounded by the type cardinality
+    * (5 here), so frame state stays O(distinct), not O(frame). */
+  def winDistinctWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long")
+          .as("n_distinct_5"))
+  }
+
   /** Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
     * counts (bag semantics), unlike their DISTINCT counterparts. */
   def setopMultiset(s: SparkSession, dir: String): DataFrame = {
@@ -695,6 +712,7 @@ object Relational {
     "agg_histogram" -> (aggHistogram _),
     "join_interval" -> (joinInterval _),
     "win_misc" -> (winMisc _),
+    "win_distinct_window" -> (winDistinctWindow _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -761,6 +779,12 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "win_distinct_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_distinct_5
+        |FROM events""".stripMargin,
     "agg_cms" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q1,
