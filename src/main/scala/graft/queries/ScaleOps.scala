@@ -344,6 +344,29 @@ object ScaleOps {
           .cast("string").as("checksum"))
   }
 
+  /** Materialization reuse: an expensive filtered projection is
+    * persisted once and feeds TWO aggregation branches — per-flag
+    * stats joined against cached global totals. Without the persist,
+    * each branch would rescan (and refilter) the full table; with it,
+    * the second branch reads columnar in-memory batches
+    * (InMemoryTableScan, spec-pinned). The 100 TB form of "reuse a
+    * partitioning/materialization across stages" — pay the scan once,
+    * amortize across every consumer. */
+  def scanCachedReuse(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .persist()
+    val perFlag = base.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum2(d18(col("l_extendedprice"))).as("sum_price"))
+    val totals = base.agg(count(lit(1)).as("n_total"),
+      dsum2(d18(col("l_quantity"))).as("qty_total"))
+    perFlag.crossJoin(broadcast(totals))
+      .select(col("l_returnflag"), col("n"), col("sum_price"),
+        col("n_total"), col("qty_total"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -357,7 +380,8 @@ object ScaleOps {
     "scan_bucket_pruned" -> (scanBucketPruned _),
     "etl_incremental_rollup" -> (etlIncrementalRollup _),
     "join_dpp" -> (joinDpp _),
-    "etl_table_checksum" -> (etlTableChecksum _))
+    "etl_table_checksum" -> (etlTableChecksum _),
+    "scan_cached_reuse" -> (scanCachedReuse _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -430,5 +454,16 @@ object ScaleOps {
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
         |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
         |  ), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "scan_cached_reuse" ->
+      """WITH f AS (SELECT l_returnflag, l_quantity, l_extendedprice
+        |           FROM lineitem WHERE l_quantity > 10),
+        |tot AS (SELECT COUNT(*) AS n_total,
+        |          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_total
+        |        FROM f)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  n_total, qty_total
+        |FROM f CROSS JOIN tot
+        |GROUP BY l_returnflag, n_total, qty_total""".stripMargin)
 }

@@ -98,6 +98,14 @@ class ScaleQueriesSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("scan_cached_reuse reads the second branch from the in-memory cache") {
+    val df = graft.queries.ScaleOps.scanCachedReuse(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"persisted base not reused from cache:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("scan_orc_roundtrip preserves counts through the ORC sink") {
     val df = graft.queries.ScaleOps.scanOrcRoundtrip(spark, sf)
     val total = df.agg(sum("n")).head().getLong(0)

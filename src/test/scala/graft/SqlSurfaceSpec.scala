@@ -27,4 +27,16 @@ class SqlSurfaceSpec extends SparkTestBase {
         |LIMIT 10""".stripMargin).collect()
     assert(sims.nonEmpty && sims.forall(r => math.abs(r.getDouble(1)) <= 1.0))
   }
+
+  test("native aggregates are callable from SQL text") {
+    Tables.registerAll(spark, sf)
+    val hh = spark.sql(
+      "SELECT heavy_hitters(event_type, 8) AS c FROM events")
+      .head().getSeq[String](0)
+    assert(hh.nonEmpty && hh.size <= 8)
+    val cms = spark.sql(
+      "SELECT cms_estimate(l_suppkey, 1, 4, 1024) AS est FROM lineitem")
+      .head().getLong(0)
+    assert(cms >= 0)
+  }
 }
