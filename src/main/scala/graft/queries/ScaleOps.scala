@@ -367,6 +367,25 @@ object ScaleOps {
         col("n_total"), col("qty_total"))
   }
 
+  /** Join-strategy control: SHUFFLE_HASH hint forces a shuffled hash
+    * join (spec-pinned) where Spark would default to sort-merge once
+    * both sides exceed the broadcast threshold. At 100 TB this is the
+    * right call when one side is much smaller than the other but still
+    * too big to broadcast: hash-building the small side skips BOTH
+    * sort passes, at the price of holding one partition's build side
+    * in memory — a deliberate, auditable trade. */
+  def joinShuffleHash(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders").hint("shuffle_hash")
+      .select("o_orderkey", "o_orderpriority")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,7 +400,8 @@ object ScaleOps {
     "etl_incremental_rollup" -> (etlIncrementalRollup _),
     "join_dpp" -> (joinDpp _),
     "etl_table_checksum" -> (etlTableChecksum _),
-    "scan_cached_reuse" -> (scanCachedReuse _))
+    "scan_cached_reuse" -> (scanCachedReuse _),
+    "join_shuffle_hash" -> (joinShuffleHash _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -465,5 +485,10 @@ object ScaleOps {
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
         |  n_total, qty_total
         |FROM f CROSS JOIN tot
-        |GROUP BY l_returnflag, n_total, qty_total""".stripMargin)
+        |GROUP BY l_returnflag, n_total, qty_total""".stripMargin,
+    "join_shuffle_hash" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }

@@ -106,6 +106,13 @@ class ScaleQueriesSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("join_shuffle_hash honors the hint with a ShuffledHashJoin") {
+    val df = graft.queries.ScaleOps.joinShuffleHash(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint not honored:\n$plan")
+  }
+
   test("scan_orc_roundtrip preserves counts through the ORC sink") {
     val df = graft.queries.ScaleOps.scanOrcRoundtrip(spark, sf)
     val total = df.agg(sum("n")).head().getLong(0)
