@@ -386,6 +386,32 @@ object ScaleOps {
           .as("revenue"))
   }
 
+  /** Schema evolution on read: two generations of the same feed land
+    * with drifted schemas (the early half carries `value`, the late
+    * half `event_type` — the same drift family the reference's column
+    * canonicalization handles at extract time), written as sibling
+    * partitions and unified by a mergeSchema read: missing columns
+    * surface as nulls, not errors. The aggregate proves both column
+    * sets survive — at 100 TB you migrate schemas by writing the new
+    * shape next to the old, never by rewriting history. */
+  def etlSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") + "/graft_schema_evo"
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), dayofmonth(col("ts")).as("d"))
+    e.filter(col("d") <= 15).select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    e.filter(col("d") > 15).select("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("n_value"),
+        count(col("event_type")).as("n_type"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -401,7 +427,8 @@ object ScaleOps {
     "join_dpp" -> (joinDpp _),
     "etl_table_checksum" -> (etlTableChecksum _),
     "scan_cached_reuse" -> (scanCachedReuse _),
-    "join_shuffle_hash" -> (joinShuffleHash _))
+    "join_shuffle_hash" -> (joinShuffleHash _),
+    "etl_schema_evolution" -> (etlSchemaEvolution _))
 
   val oracle: Map[String, String] = Map(
     "join_bucketed" ->
@@ -490,5 +517,16 @@ object ScaleOps {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "etl_schema_evolution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CASE WHEN dayofmonth(CAST(ts AS TIMESTAMP)) <= 15
+        |                  THEN 1 ELSE 2 END AS gen
+        |           FROM events)
+        |SELECT CAST(gen AS INT) AS gen, COUNT(*) AS n,
+        |  COUNT(CASE WHEN gen = 1 THEN value END) AS n_value,
+        |  COUNT(CASE WHEN gen = 2 THEN event_type END) AS n_type,
+        |  CAST(SUM(CASE WHEN gen = 1
+        |       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY gen""".stripMargin)
 }
