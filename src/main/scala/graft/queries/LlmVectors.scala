@@ -243,7 +243,34 @@ object LlmVectors {
         coalesce(col("pruned_cnt"), lit(0L)).as("n_pruned"))
   }
 
+  /** Per-dimension standardization statistics (the fit half of a
+    * StandardScaler), per label, over the first 8 dimensions: decimal
+    * sums of x and x² make the cross-row accumulation exact and
+    * order-free (float sums diverge between engines), then one double
+    * division per (label, dim). At 100 TB this is one map-side-combined
+    * pass; the fitted (mean, std) table is tiny and broadcasts back for
+    * the transform half. Variance clamps at 0 before the sqrt — float
+    * rounding can push E[x²]−mean² a hair negative. */
+  def featureStandardize(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    val st = p.groupBy("label", "pos").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(18, 9))).cast("double").as("sx"),
+      sum((col("x") * col("x")).cast(DecimalType(18, 9))).cast("double")
+        .as("sxx"))
+    st.select(col("label"), col("pos"), col("n"),
+      round(col("sx") / col("n"), 6).as("mean"),
+      round(sqrt(greatest(
+        col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
+        lit(0.0))), 6).as("std"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_feature_standardize" -> (featureStandardize _),
     "llm_semdedup" -> (semDedup _),
     "llm_ann_recall" -> (annRecall _),
     "llm_kmeans_train" -> (kmeansTrain _),
@@ -305,6 +332,17 @@ object LlmVectors {
     "list_inner_product(%s, %s) - 2 * list_inner_product(%s, %s) + list_inner_product(%s, %s)"
 
   val oracle: Map[String, String] = Map(
+    "llm_feature_standardize" ->
+      """WITH p AS (SELECT label, pos, CAST(embedding[pos + 1] AS DOUBLE) AS x
+        |           FROM embeddings,
+        |                (SELECT CAST(unnest(range(8)) AS BIGINT) AS pos)),
+        |st AS (SELECT label, pos, COUNT(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(x*x AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+        |       FROM p GROUP BY 1, 2)
+        |SELECT label, pos, n, ROUND(sx/n, 6) AS mean,
+        |  ROUND(sqrt(GREATEST(sxx/n - (sx/n)*(sx/n), 0)), 6) AS std
+        |FROM st""".stripMargin,
     "llm_semdedup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT a.label, b.vec_id AS vec_b
