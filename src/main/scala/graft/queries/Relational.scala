@@ -644,6 +644,20 @@ object Relational {
           .as("n_distinct_5"))
   }
 
+  /** Boolean/filtered aggregate long tail: count_if, bool_and/bool_or,
+    * and FILTER-style conditional sums — all exact, all map-side
+    * combinable. */
+  def aggBoolMisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("count_if(l_quantity > 25)").as("n_high"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_disc"),
+        count(when(col("l_tax") > 0.05, 1)).as("n_taxed"),
+        dsum2(when(col("l_quantity") > 25, d18(col("l_extendedprice")))
+          .otherwise(lit(null))).as("high_qty_price"))
+
   /** Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
     * counts (bag semantics), unlike their DISTINCT counterparts. */
   def setopMultiset(s: SparkSession, dir: String): DataFrame = {
@@ -713,6 +727,7 @@ object Relational {
     "join_interval" -> (joinInterval _),
     "win_misc" -> (winMisc _),
     "win_distinct_window" -> (winDistinctWindow _),
+    "agg_bool_misc" -> (aggBoolMisc _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -779,6 +794,16 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "agg_bool_misc" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_high,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc,
+        |  COUNT(*) FILTER (WHERE l_tax > 0.05) AS n_taxed,
+        |  CAST(ROUND(SUM(CASE WHEN l_quantity > 25
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |    AS high_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "win_distinct_window" ->
       """SELECT event_id, user_id,
         |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
