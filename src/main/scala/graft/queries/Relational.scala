@@ -644,6 +644,25 @@ object Relational {
           .as("n_distinct_5"))
   }
 
+  /** Existence join: an IN-subquery inside a disjunction can't become
+    * a plain semi join (rows may pass on the other disjunct alone), so
+    * Catalyst plans an ExistenceJoin — the semi join variant that adds
+    * an exists flag instead of filtering. The aggregate keys on the
+    * flag, proving both disjunct paths flow through. */
+  def joinExistence(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_exist_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_exist_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM graft_exist_orders
+        |WHERE o_totalprice > 300000
+        |   OR o_orderkey IN (SELECT l_orderkey FROM graft_exist_lineitem
+        |                     WHERE l_quantity > 49)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** Boolean/filtered aggregate long tail: count_if, bool_and/bool_or,
     * and FILTER-style conditional sums — all exact, all map-side
     * combinable. */
@@ -728,6 +747,7 @@ object Relational {
     "win_misc" -> (winMisc _),
     "win_distinct_window" -> (winDistinctWindow _),
     "agg_bool_misc" -> (aggBoolMisc _),
+    "join_existence" -> (joinExistence _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -794,6 +814,15 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "join_existence" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > 300000
+        |   OR o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_quantity > 49)
+        |GROUP BY o_orderpriority""".stripMargin,
     "agg_bool_misc" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_high,

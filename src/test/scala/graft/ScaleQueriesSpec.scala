@@ -113,6 +113,14 @@ class ScaleQueriesSpec extends SparkTestBase {
       s"shuffle_hash hint not honored:\n$plan")
   }
 
+  test("join_existence plans an ExistenceJoin for IN-subquery in disjunction") {
+    val df = graft.queries.Relational.joinExistence(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistenceJoin"),
+      s"IN-subquery under OR should plan an ExistenceJoin:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("scan_orc_roundtrip preserves counts through the ORC sink") {
     val df = graft.queries.ScaleOps.scanOrcRoundtrip(spark, sf)
     val total = df.agg(sum("n")).head().getLong(0)
