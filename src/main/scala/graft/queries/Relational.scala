@@ -663,6 +663,21 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Null-safe equality join (`<=>`): plain `=` drops every null key
+    * on both sides; `<=>` lets null groups match each other — the
+    * semantics a dimension join needs when "unknown" is itself a valid
+    * bucket. Nation 5 is nulled on both sides to exercise the match. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer")
+      .select(nullif(col("c_nationkey"), lit(5)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_cust"))
+    val b = t(s, dir, "supplier")
+      .select(nullif(col("s_nationkey"), lit(5)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n_supp"))
+    a.join(b, a("k") <=> b("bk"))
+      .select(col("k"), col("n_cust"), col("n_supp"))
+  }
+
   /** Boolean/filtered aggregate long tail: count_if, bool_and/bool_or,
     * and FILTER-style conditional sums — all exact, all map-side
     * combinable. */
@@ -748,6 +763,7 @@ object Relational {
     "win_distinct_window" -> (winDistinctWindow _),
     "agg_bool_misc" -> (aggBoolMisc _),
     "join_existence" -> (joinExistence _),
+    "join_null_safe" -> (joinNullSafe _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -814,6 +830,13 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (SELECT nullif(c_nationkey, 5) AS k, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |b AS (SELECT nullif(s_nationkey, 5) AS bk, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT k, n_cust, n_supp
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.bk""".stripMargin,
     "join_existence" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
