@@ -678,6 +678,47 @@ object Relational {
       .select(col("k"), col("n_cust"), col("n_supp"))
   }
 
+  /** Deterministic pseudonymization: salted SHA-256 over the user key
+    * preserves identity structure (same user → same token, distinct
+    * count unchanged) while severing the raw id — the GDPR-style mask
+    * a shared 100 TB analytics copy ships with. The graded row proves
+    * cardinality preservation and pins an actual token so the hash
+    * bytes themselves are oracle-checked, not just the counts. */
+  def etlMaskPseudonym(s: SparkSession, dir: String): DataFrame = {
+    val masked = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        sha2(concat(col("user_id").cast("string"), lit(":pepper")), 256)
+          .as("token"))
+    masked.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("token")).as("n_tokens"),
+      (countDistinct(col("user_id")) === countDistinct(col("token")))
+        .as("cardinality_preserved"),
+      min(col("token")).as("min_token"))
+  }
+
+  /** LATERAL correlated subquery join: every order row pairs with an
+    * aggregate computed over ITS lineitems — the SQL surface for
+    * per-row correlated computation; Catalyst decorrelates it into an
+    * ordinary aggregate + join, so nothing is executed per-row.
+    * Engines DISAGREE on lineitem-less orders (Spark keeps a NULL-mq
+    * row, DuckDB's inner lateral drops it), so the query pins the
+    * semantics explicitly with `WHERE mq IS NOT NULL`. */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_lat_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_lat_lineitem")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN mq >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_big_max,
+        |  COUNT(*) AS n
+        |FROM graft_lat_orders o,
+        |  LATERAL (SELECT MAX(l_quantity) AS mq FROM graft_lat_lineitem
+        |           WHERE l_orderkey = o.o_orderkey)
+        |WHERE mq IS NOT NULL
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** Boolean/filtered aggregate long tail: count_if, bool_and/bool_or,
     * and FILTER-style conditional sums — all exact, all map-side
     * combinable. */
@@ -764,6 +805,8 @@ object Relational {
     "agg_bool_misc" -> (aggBoolMisc _),
     "join_existence" -> (joinExistence _),
     "join_null_safe" -> (joinNullSafe _),
+    "etl_mask_pseudonym" -> (etlMaskPseudonym _),
+    "join_lateral" -> (joinLateral _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -830,6 +873,23 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "etl_mask_pseudonym" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT sha256(CAST(user_id AS VARCHAR) || ':pepper')) AS n_tokens,
+        |  COUNT(DISTINCT user_id) = COUNT(DISTINCT sha256(CAST(user_id AS VARCHAR) || ':pepper'))
+        |    AS cardinality_preserved,
+        |  MIN(sha256(CAST(user_id AS VARCHAR) || ':pepper')) AS min_token
+        |FROM events""".stripMargin,
+    "join_lateral" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN mq >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_big_max,
+        |  COUNT(*) AS n
+        |FROM orders o,
+        |  LATERAL (SELECT MAX(l_quantity) AS mq FROM lineitem
+        |           WHERE l_orderkey = o.o_orderkey)
+        |WHERE mq IS NOT NULL
+        |GROUP BY o_orderpriority""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (SELECT nullif(c_nationkey, 5) AS k, COUNT(*) AS n_cust
         |           FROM customer GROUP BY 1),
