@@ -413,6 +413,21 @@ object LlmText {
           (col("c1") + lit(0.5) * col("v")))), 6).as("score"))
   }
 
+  /** Hashing-trick featurization: tokens map to a fixed 32-bucket
+    * space via an md5-derived bucket id — no vocabulary to build,
+    * ship, or keep consistent across a 100 TB corpus; collisions are
+    * the accepted trade. md5 (not Spark's Murmur `hash`) keeps the
+    * bucket function engine-neutral for the oracle. */
+  def featureHashing(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(fanout(s))
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 32)
+          .as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
   /** PII redaction over the event payloads (the fixture column that
     * actually carries digits): email-shaped then numeric literals →
     * placeholder tokens, plus a redaction count. Pure per-row
@@ -781,6 +796,7 @@ object LlmText {
     "llm_tfidf" -> (tfidf _),
     "llm_bm25" -> (bm25 _),
     "llm_ngram_lm" -> (ngramLm _),
+    "llm_feature_hashing" -> (featureHashing _),
     "text_pii_mask" -> (piiMask _),
     "llm_stratified_split" -> (stratifiedSplit _),
     "llm_vocab" -> (vocab _),
@@ -946,6 +962,13 @@ object LlmText {
         |      FROM sc)
         |SELECT doc_id, rnk, term, tf, ROUND(score_raw, 4) AS bm25
         |FROM r WHERE rnk <= 3""".stripMargin,
+    "llm_feature_hashing" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE doc_id < 30)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % 32 AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM tok GROUP BY 1, 2""".stripMargin,
     "llm_ngram_lm" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),

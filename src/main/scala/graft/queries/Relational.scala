@@ -719,6 +719,24 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Rolling z-score over a trailing row frame — the streaming-shaped
+    * anomaly score of the reference's stock analytics (how far is
+    * today's value from its own recent mean, in recent-volatility
+    * units). Sample stddev needs ≥2 frame rows; earlier rows surface
+    * null, not a fake zero. Small-frame doubles round at 4 per the
+    * determinism notes. */
+  def winRollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        round((col("value") - avg(col("value")).over(w)) /
+          stddev_samp(col("value")).over(w), 4).as("z"))
+  }
+
   /** Boolean/filtered aggregate long tail: count_if, bool_and/bool_or,
     * and FILTER-style conditional sums — all exact, all map-side
     * combinable. */
@@ -806,6 +824,7 @@ object Relational {
     "join_existence" -> (joinExistence _),
     "join_null_safe" -> (joinNullSafe _),
     "etl_mask_pseudonym" -> (etlMaskPseudonym _),
+    "win_rolling_zscore" -> (winRollingZscore _),
     "join_lateral" -> (joinLateral _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
@@ -873,6 +892,13 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_zscore" ->
+      """SELECT event_id, user_id,
+        |  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
     "etl_mask_pseudonym" ->
       """SELECT COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(DISTINCT sha256(CAST(user_id AS VARCHAR) || ':pepper')) AS n_tokens,
