@@ -737,6 +737,18 @@ object Relational {
           stddev_samp(col("value")).over(w), 4).as("z"))
   }
 
+  /** Ordered string aggregation (LISTAGG … WITHIN GROUP, new in Spark
+    * 4): the report-friendly cousin of collect_list — an explicit
+    * in-group ORDER BY makes the concatenation deterministic under any
+    * partitioning. */
+  def aggListagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("listagg(DISTINCT o_orderstatus, ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+        count(lit(1)).as("n"))
+
   /** Boolean/filtered aggregate long tail: count_if, bool_and/bool_or,
     * and FILTER-style conditional sums — all exact, all map-side
     * combinable. */
@@ -825,6 +837,7 @@ object Relational {
     "join_null_safe" -> (joinNullSafe _),
     "etl_mask_pseudonym" -> (etlMaskPseudonym _),
     "win_rolling_zscore" -> (winRollingZscore _),
+    "agg_listagg" -> (aggListagg _),
     "join_lateral" -> (joinLateral _),
     "setop_multiset" -> (setopMultiset _),
     "events_funnel" -> (eventsFunnel _),
@@ -892,6 +905,12 @@ object Relational {
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "win_rolling_zscore" ->
       """SELECT event_id, user_id,
         |  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
