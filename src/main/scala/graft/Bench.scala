@@ -113,11 +113,15 @@ object Bench {
     }
     System.err.println(s"[bench-detail] $detail")
 
-    // Contract line: headline queries first, then the rest alphabetically,
-    // adding entries only while the line stays under budget.
+    // Contract line: headline queries first, then the rest by DESCENDING
+    // seconds — the driver only sees what survives the cap, so the most
+    // expensive (i.e. most diagnostic) queries must never be the ones
+    // truncated away. Failed queries carry -sec; abs() keeps a slow
+    // failure just as visible as a slow success.
     val ordered =
       headline.filter(secByName.contains) ++
         results.map(_._1).filterNot(headline.contains)
+          .sortBy(k => -math.abs(secByName(k)))
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val suffix = s"""},"sf":$sfNum}"""
     val fixed = prefix.length + suffix.length

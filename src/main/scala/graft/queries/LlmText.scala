@@ -400,7 +400,11 @@ object LlmText {
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val tok = d.select(explode(col("t")).as("term"))
+    // unigram counts and vocab come from ALL docs (the oracle's tok
+    // CTE is unfiltered) — deriving them from the >=2-token slice `d`
+    // silently diverges on any fixture doc with 0-1 tokens.
+    val tok = docs(s, dir).repartition(fanout(s))
+      .select(explode(toks(col("text"))).as("term"))
     val c1 = tok.groupBy("term").agg(count(lit(1)).as("c1"))
     val v = tok.agg(countDistinct(col("term")).as("v"))
     bi.filter(col("doc_id") < 50)
@@ -462,17 +466,26 @@ object LlmText {
   /** Repetition-based quality signal (Gopher-style): the fraction of a
     * doc's word-3-grams that are duplicates (1 − distinct/total) —
     * high values mark template/spam text. Pure per-row array math, no
-    * shuffle. */
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(toks(col("text")))
-    docs(s, dir).repartition(fanout(s)).select(
-      col("doc_id"),
-      size(sh).cast("long").as("n_shingles"),
-      size(array_distinct(sh)).cast("long").as("n_distinct"),
-      when(size(sh) > 0,
-        round(lit(1.0) - size(array_distinct(sh)) / size(sh).cast("double"), 6))
-        .otherwise(0.0).as("rep_ratio"))
-  }
+    * shuffle.
+    *
+    * Perf shape (round-6 regression, 59.9 s → fixed): the shingle
+    * array must be CONSTRUCTED ONCE per row. Inlining it into
+    * size/array_distinct/`when` builds it up to five times — the
+    * conditional branches defeat codegen subexpression reuse — which
+    * is CPU-quadratic-ish per row and just as wrong at 100×. The two
+    * counts are projected from one materialized array; the ratio is
+    * derived from the counts behind a second projection boundary
+    * (cheap longs, safe to duplicate). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        when(col("n_shingles") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_shingles").cast("double"), 6))
+          .otherwise(0.0).as("rep_ratio"))
 
   /** Sequence packing: greedily pack docs into fixed token-budget
     * training sequences, per source, in deterministic md5 order —

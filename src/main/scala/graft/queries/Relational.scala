@@ -723,18 +723,35 @@ object Relational {
     * anomaly score of the reference's stock analytics (how far is
     * today's value from its own recent mean, in recent-volatility
     * units). Sample stddev needs ≥2 frame rows; earlier rows surface
-    * null, not a fake zero. Small-frame doubles round at 4 per the
-    * determinism notes. */
+    * null, not a fake zero.
+    *
+    * Determinism: never round an incremental mean/variance — Spark's
+    * and DuckDB's windowed avg/stddev_samp differ by ulps and
+    * `round(…, 4)` flips on midpoint-adjacent values (the exact
+    * failure class of round 6's red row). Instead both sides compute
+    * the frame sums n, Σx, Σx² EXACTLY through DECIMAL(18,4)
+    * accumulation, convert once to double, and derive
+    * z = (x − Σx/n) / sqrt((n·Σx² − (Σx)²)/(n·(n−1))) with the same
+    * expression tree — identical IEEE ops over identical bits. A
+    * zero-variance frame surfaces null, matching the stddev path. */
   def winRollingZscore(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(-9, Window.currentRow)
+    val dec = col("value").cast(DecimalType(18, 4))
+    val nD = col("n").cast(DoubleType)
+    val variance = (nD * col("sxx") - col("sx") * col("sx")) /
+      (nD * (nD - lit(1.0d)))
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n", count(col("value")).over(w))
+      .withColumn("sx", sum(dec).over(w).cast(DoubleType))
+      .withColumn("sxx", sum(dec * dec).over(w).cast(DoubleType))
       .select(col("event_id"), col("user_id"),
-        round((col("value") - avg(col("value")).over(w)) /
-          stddev_samp(col("value")).over(w), 4).as("z"))
+        when(col("n") >= 2 && variance > 0d,
+          round((col("value") - col("sx") / nD) / sqrt(variance), 4))
+          .as("z"))
   }
 
   /** Ordered string aggregation (LISTAGG … WITHIN GROUP, new in Spark
@@ -912,12 +929,22 @@ object Relational {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "win_rolling_zscore" ->
-      """SELECT event_id, user_id,
-        |  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id
-        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
-        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+      """WITH b AS (SELECT event_id, user_id, value,
+        |    COUNT(value) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+        |             * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN n >= 2
+        |        AND (n*sxx - sx*sx) / (n*(n-1.0)) > 0
+        |       THEN ROUND((value - sx/n)
+        |                  / SQRT((n*sxx - sx*sx) / (n*(n-1.0))), 4)
+        |  END AS z
+        |FROM b""".stripMargin,
     "etl_mask_pseudonym" ->
       """SELECT COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(DISTINCT sha256(CAST(user_id AS VARCHAR) || ':pepper')) AS n_tokens,

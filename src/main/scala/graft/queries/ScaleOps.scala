@@ -192,9 +192,11 @@ object ScaleOps {
     // Layout check via a metadata-only listing (input_file_name() is
     // marked nondeterministic and would trip the global plan audit);
     // content check via the query itself.
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
-    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(big))
+    // Resolve the FS from the path itself, not the default filesystem —
+    // they differ the moment defaultFS isn't the local scheme.
+    val bigPath = new org.apache.hadoop.fs.Path(big)
+    val fs = bigPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(bigPath)
       .count(_.getPath.getName.endsWith(".parquet"))
     s.read.parquet(big)
       .agg(
@@ -352,11 +354,20 @@ object ScaleOps {
     * (InMemoryTableScan, spec-pinned). The 100 TB form of "reuse a
     * partitioning/materialization across stages" — pay the scan once,
     * amortize across every consumer. */
+  // One persisted base per (app, dir): a fresh persist() per invocation
+  // would accumulate cached blocks across a 170+-query verify/bench
+  // session with nothing ever releasing them. Keyed by applicationId so
+  // a stopped context's entry is never reused by a new app.
+  private val cachedReuseBase =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
   def scanCachedReuse(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "lineitem")
-      .filter(col("l_quantity") > 10)
-      .select("l_returnflag", "l_quantity", "l_extendedprice")
-      .persist()
+    val base = cachedReuseBase.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir",
+      _ => t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 10)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .persist())
     val perFlag = base.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         dsum2(d18(col("l_extendedprice"))).as("sum_price"))
@@ -385,6 +396,54 @@ object ScaleOps {
         dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
           .as("revenue"))
   }
+
+  /** Scoped conf override: set, run, restore — the bloom thresholds are
+    * sized for 100 TB scans (applicationSideScanSizeThreshold defaults
+    * to 10 GB), so the fixture-scale query lowers them for the duration
+    * of ITS planning/execution only. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(f: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Runtime bloom-filter pruned join: a selective dimension filter is
+    * turned into a bloom filter BUILT AT RUNTIME from the dim side and
+    * pushed into the fact scan as `might_contain(...)` — rows that
+    * cannot join are dropped before the shuffle. At 100 TB this is the
+    * semi-join-heavy workload's workhorse: the exchange moves only the
+    * ~1-priority slice of lineitem instead of all of it. Injection
+    * requires a PROBABLE SHUFFLE join — a broadcast join already
+    * filters on the probe side, so the rule skips any join with a
+    * broadcast-able build side. At 100 TB both sides exceed the
+    * threshold naturally; at fixture scale the scoped
+    * autoBroadcastJoinThreshold=-1 recreates that condition.
+    * Fail-loud: the query itself asserts the injected filter is IN the
+    * executed plan, then materializes under the same active confs, so
+    * a silent no-injection regression cannot grade green. */
+  def joinBloom(s: SparkSession, dir: String): DataFrame =
+    withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val df = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount")))
+            .as("revenue"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+      df.localCheckpoint(eager = true)
+    }
 
   /** Schema evolution on read: two generations of the same feed land
     * with drifted schemas (the early half carries `value`, the late
@@ -428,6 +487,7 @@ object ScaleOps {
     "etl_table_checksum" -> (etlTableChecksum _),
     "scan_cached_reuse" -> (scanCachedReuse _),
     "join_shuffle_hash" -> (joinShuffleHash _),
+    "join_bloom" -> (joinBloom _),
     "etl_schema_evolution" -> (etlSchemaEvolution _))
 
   val oracle: Map[String, String] = Map(
@@ -437,6 +497,12 @@ object ScaleOps {
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "join_bloom" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "join_band" ->
       """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
         |a AS (SELECT * FROM e WHERE value > 320)

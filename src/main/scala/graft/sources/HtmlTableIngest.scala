@@ -26,14 +26,27 @@ object HtmlTableIngest {
   /** One scrape target: a name to inject (S5) and a fetcher (S1). */
   final case class ScrapeSource(name: String, fetch: () => String)
 
+  /** One root-page link-table row (S2): display name + resolved URL. */
+  final case class StockLink(stockName: String, link: String)
+
   private val tableRe: Regex =
     "(?s)<table[^>]*class=\"[^\"]*freeze-column[^\"]*\"[^>]*>(.*?)</table>".r
+  private val tbodyRe: Regex =
+    "(?s)<tbody[^>]*class=\"[^\"]*datatable[^\"]*\"[^>]*>(.*?)</tbody>".r
   private val rowRe: Regex = "(?s)<tr[^>]*>(.*?)</tr>".r
   private val thRe: Regex = "(?s)<th[^>]*>(.*?)</th>".r
   private val tdRe: Regex = "(?s)<td[^>]*>(.*?)</td>".r
+  private val anchorRe: Regex = "(?s)<a[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>".r
 
+  /** Tag-strip + decode of the entities the scraped tables actually
+    * carry (bs4's `.text` decodes all entities; the named/numeric
+    * handful below covers the reference pages). */
   private def strip(s: String): String =
-    s.replaceAll("<[^>]*>", "").trim
+    s.replaceAll("<[^>]*>", "")
+      .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
+      .replace("&amp;", "&")
+      .trim
 
   /** S3: locate the freeze-column table, infer headers from the first
     * row bearing <th> cells, emit each <td> row. S4: rows whose cell
@@ -52,6 +65,39 @@ object HtmlTableIngest {
       .filter(_.size == headers.size) // S4 malformed-row filter
     (headers, data)
   }
+
+  /** S2: derive the {stock_name, link} source list from the root page's
+    * `datatable` tbody (main.py:26-46). Each row's first anchor yields
+    * the display name and an href resolved against `baseUrl` — full
+    * URLs pass through, `/rel` and `rel` forms are prefixed — with the
+    * reference's `-historical-data` suffix appended in every branch.
+    * Rows without a hyperlinked cell are dropped (the link-layer
+    * analogue of the S4 malformed-row filter; the reference would crash
+    * the whole run on such a row, which is strictly worse). */
+  def linkTable(rootHtml: String, baseUrl: String): Seq[StockLink] = {
+    val body = tbodyRe.findFirstMatchIn(rootHtml)
+      .getOrElse(throw new IllegalArgumentException("no datatable tbody"))
+      .group(1)
+    rowRe.findAllMatchIn(body).map(_.group(1)).flatMap { row =>
+      anchorRe.findFirstMatchIn(row).map { m =>
+        val href = m.group(1)
+        val link =
+          if (href.startsWith("http")) s"$href-historical-data"
+          else if (href.startsWith("/")) s"$baseUrl$href-historical-data"
+          else s"$baseUrl/$href-historical-data"
+        StockLink(strip(m.group(2)), link)
+      }
+    }.toSeq
+  }
+
+  /** S2→S1 glue: the root page becomes the source list `ingest` runs —
+    * the reference's first pipeline stage (main.py:49-66). `fetcherFor`
+    * maps each resolved link to its fetch thunk (an HTTP client in
+    * production; local fixtures in tests). */
+  def sourcesFromRoot(rootHtml: String, baseUrl: String,
+      fetcherFor: String => () => String): Seq[ScrapeSource] =
+    linkTable(rootHtml, baseUrl)
+      .map(l => ScrapeSource(l.stockName, fetcherFor(l.link)))
 
   /** S1: retry with linear backoff. */
   def fetchWithRetry(fetch: () => String, maxRetries: Int = 3,

@@ -26,6 +26,42 @@ class IngestSpec extends SparkTestBase {
     assert(rows.size == 2) // malformed row dropped
   }
 
+  test("S2: root-page link table → resolved source list") {
+    val root =
+      """<html><body><table><tbody class="js-datatable large">
+        |<tr><td><a href="https://other.example.com/indices/dow">Dow Jones</a></td><td>x</td></tr>
+        |<tr><td><a href="/indices/nasdaq-composite">Nasdaq</a></td><td>y</td></tr>
+        |<tr><td><a href="indices/sp-500">S&amp;P 500</a></td><td>z</td></tr>
+        |<tr><td>no anchor in this row</td><td>w</td></tr>
+        |</tbody></table></body></html>""".stripMargin
+    val links = HtmlTableIngest.linkTable(root, "https://www.example.com")
+    assert(links.map(_.stockName) == Seq("Dow Jones", "Nasdaq", "S&P 500"))
+    assert(links.map(_.link) == Seq(
+      // absolute href passes through untouched
+      "https://other.example.com/indices/dow-historical-data",
+      // rooted-relative href prefixes the base
+      "https://www.example.com/indices/nasdaq-composite-historical-data",
+      // bare-relative href gets base + '/'
+      "https://www.example.com/indices/sp-500-historical-data"))
+    // anchor-less (malformed) link row dropped, not crashed on
+    assert(links.size == 3)
+    // a page without the datatable tbody fails loudly
+    intercept[IllegalArgumentException] {
+      HtmlTableIngest.linkTable("<html><tbody class=\"plain\"></tbody></html>",
+        "https://www.example.com")
+    }
+    // S2→S1 glue: the resolved links drive ingest end-to-end
+    val byLink = Map(
+      "https://other.example.com/indices/dow-historical-data" -> page(goodRows),
+      "https://www.example.com/indices/nasdaq-composite-historical-data" -> page(goodRows),
+      "https://www.example.com/indices/sp-500-historical-data" -> page(goodRows))
+    val sources = HtmlTableIngest.sourcesFromRoot(
+      root, "https://www.example.com", link => () => byLink(link))
+    val df = HtmlTableIngest.ingest(spark, sources)
+    assert(df.count() == 6 &&
+      df.select("stock_name").distinct().count() == 3)
+  }
+
   test("S1: fetch retry recovers after transient failures") {
     var calls = 0
     val flaky = () => {

@@ -36,6 +36,26 @@ class ScaleQueriesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("join_bloom injects might_contain and matches the plain join") {
+    // joinBloom fail-louds internally if the executed plan lacks the
+    // injected bloom filter; this pins the behavior AND the values.
+    val df = graft.queries.ScaleOps.joinBloom(spark, sf)
+    val l = graft.core.Tables.load(spark, sf, "lineitem")
+    val o = graft.core.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val got = df.select("l_returnflag", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = plain.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    // the scoped override must not leak into the session
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      != "0")
+  }
+
   test("join_band plans a hash join, never a nested-loop/cartesian") {
     val df = graft.queries.ScaleOps.joinBand(spark, "/root/testdata/sf0.01")
     val plan = df.queryExecution.executedPlan.toString
