@@ -149,13 +149,65 @@ object Multimodal {
       sum(col("len") * col("c")).cast("long").as("bytes_total"))
   }
 
+  /** binaryFile-source ingest: blobs land as loose files (the way
+    * media actually arrives), are read back through Spark's binaryFile
+    * source — (path, modificationTime, length, content) — and joined
+    * to the document table by CONTENT DIGEST, the content-addressed
+    * identity [[mmBlobDedup]] establishes. The landing zone is built
+    * distributed (each task writes its partition's blobs through the
+    * Hadoop FS API — HDFS/object store at scale, local FS here); the
+    * digest join never shuffles blob bytes, only 16-byte hashes.
+    * Exact-duplicate texts share a digest, so a blob matches every doc
+    * carrying its content — the oracle mirrors that multiplicity. */
+  def mmBinaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val landing = sys.props("java.io.tmpdir") + "/graft_blob_landing"
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(lp)) fs.delete(lp, true)
+    fs.mkdirs(lp)
+    Tables.load(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .repartition(8)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pfs = new org.apache.hadoop.fs.Path(landing)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { r =>
+          val out = pfs.create(new org.apache.hadoop.fs.Path(
+            landing, f"doc_${r.getLong(0)}%05d.bin"), true)
+          out.write(r.getAs[Array[Byte]](1))
+          out.close()
+        }
+      }
+    val blobs = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(landing)
+      .select(col("length"), md5(col("content")).as("h"))
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), md5(encode(col("text"), "UTF-8")).as("dh"))
+    blobs.join(d, blobs("h") === d("dh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_matched"),
+        countDistinct(col("h")).as("n_unique_blobs"),
+        sum(col("length")).cast("long").as("bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_ingest" -> (mmBinaryIngest _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
     "mm_blob_dedup" -> (mmBlobDedup _))
 
   val oracle: Map[String, String] = Map(
+    // ASCII ⇒ md5(chars) == md5(blob bytes), LENGTH(chars) == file size
+    "mm_binary_ingest" ->
+      """WITH blobs AS (SELECT LENGTH(text) AS length, md5(text) AS h
+        |               FROM documents WHERE doc_id < 50),
+        |d AS (SELECT source, md5(text) AS dh FROM documents)
+        |SELECT source, COUNT(*) AS n_matched,
+        |  COUNT(DISTINCT h) AS n_unique_blobs,
+        |  CAST(SUM(length) AS BIGINT) AS bytes
+        |FROM blobs JOIN d ON h = dh
+        |GROUP BY source""".stripMargin,
     // ASCII text ⇒ byte value == char code; histogram bin b counts
     // chars with ord/16 == b. Bin 4 = space..'/' (0x20-0x2f), bins 6/7
     // cover a-z ranges.

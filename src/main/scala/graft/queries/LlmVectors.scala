@@ -191,6 +191,69 @@ object LlmVectors {
         round(element_at(col("c"), 1), 6).as("c0")), Seq("cid"))
   }
 
+  /** Product-quantization ANN: each 64-dim vector splits into M=4
+    * 16-dim subvectors; each subspace trains its OWN k=16 codebook
+    * (seeded with vectors 0..15's subvectors, one Lloyd refinement —
+    * the same deterministic recipe as [[kmeansTrain]]); a vector's
+    * code is its 4 nearest-codeword ids. Queries score by ASYMMETRIC
+    * distance: per (query, subspace, codeword) distances form a tiny
+    * broadcast LUT and a candidate's distance is the SUM of 4 lookups
+    * — no full-vector math ever touches the corpus at query time.
+    *
+    * Scale: the corpus-side table is the CODES (4 small ints per
+    * vector, ~32× smaller than the float vectors); scoring is a
+    * broadcast hash join on (m, cid) plus a 4-row-per-pair sum — the
+    * memory-bound shape real PQ serving uses. Lookup distances are
+    * decimal-pinned before the per-pair sum so the 4-way addition is
+    * order-free for the oracle. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val M = 4; val sd = 16; val k = 16
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subs = e.select(col("vec_id"),
+      posexplode(array((0 until M).map(m => slice(col("v"), m * sd + 1, sd)): _*))
+        .as(Seq("m", "sub")))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, d) => acc + d)
+    def l2(x: Column, c: Column): Column =
+      dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
+    val seeds = subs.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sub").as("c"))
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist").asc, col("cid").asc)
+      subs.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"), col("cid"),
+          l2(col("sub"), col("c")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sub"), col("cid"))
+    }
+    val codebook = assign(seeds)
+      .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy("m", "cid", "pos")
+      .agg((sum(col("x").cast(DecimalType(20, 8))).cast("double")
+        / count(lit(1))).as("cc"))
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cc")))).as("pc"))
+      .select(col("m"), col("cid"), expr("transform(pc, p -> p.cc)").as("c"))
+    val codes = assign(codebook).select(col("vec_id"), col("m"), col("cid"))
+    val qsubs = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+    val lut = qsubs.join(broadcast(codebook), Seq("m"))
+      .select(col("q_id"), col("m"), col("cid"),
+        l2(col("qsub"), col("c")).cast(DecimalType(18, 9)).as("d"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("d")).cast("double").as("adist"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("adist"), 4).as("adist"))
+  }
+
   /** Recall evaluation of the approximate indexes against brute force:
     * |approx ∩ exact top-3| / |exact top-3| per method — the metric a
     * similarity-search deployment actually tracks. Composes the
@@ -277,6 +340,7 @@ object LlmVectors {
     "llm_vector_norms" -> (vectorNorms _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf2" -> (annIvf2 _),
+    "llm_ann_pq" -> (annPq _),
     "llm_cosine_topk" -> (cosineTopk _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_embed_neardup" -> (embedNearDup _))
@@ -440,6 +504,40 @@ object LlmVectors {
          |FROM ne""".stripMargin,
     "llm_ann_ivf" -> ivfSql(1),
     "llm_ann_ivf2" -> ivfSql(2),
+    "llm_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
+         |         FROM e, (SELECT unnest(range(4)) AS m)),
+         |seeds AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS c
+         |          FROM subs WHERE vec_id < 16),
+         |a1 AS (SELECT vec_id, m, sub, cid, ROW_NUMBER() OVER (
+         |         PARTITION BY vec_id, m
+         |         ORDER BY ${l2Sql.format("sub", "sub", "sub", "c", "c", "c")} ASC, cid ASC) AS rn
+         |       FROM subs JOIN seeds USING (m)),
+         |s1 AS (SELECT vec_id, m, sub, cid FROM a1 WHERE rn = 1),
+         |f1 AS (SELECT m, cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS x
+         |       FROM s1),
+         |m1 AS (SELECT m, cid, pos,
+         |         CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS cc
+         |       FROM f1 GROUP BY 1, 2, 3),
+         |cb AS (SELECT m, cid, list(cc ORDER BY pos) AS c FROM m1 GROUP BY m, cid),
+         |a2 AS (SELECT vec_id, m, cid, ROW_NUMBER() OVER (
+         |         PARTITION BY vec_id, m
+         |         ORDER BY ${l2Sql.format("sub", "sub", "sub", "c", "c", "c")} ASC, cid ASC) AS rn
+         |       FROM subs JOIN cb USING (m)),
+         |codes AS (SELECT vec_id, m, cid FROM a2 WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, m, sub AS qsub FROM subs WHERE vec_id < 10),
+         |lut AS (SELECT q_id, m, cid,
+         |          CAST(${l2Sql.format("qsub", "qsub", "qsub", "c", "c", "c")} AS DECIMAL(18,9)) AS d
+         |        FROM qs JOIN cb USING (m)),
+         |sc AS (SELECT q_id, vec_id, CAST(SUM(d) AS DOUBLE) AS adist
+         |       FROM codes JOIN lut USING (m, cid)
+         |       WHERE vec_id <> q_id GROUP BY 1, 2),
+         |r AS (SELECT q_id, vec_id, adist, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY q_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT q_id, rnk, vec_id, ROUND(adist, 4) AS adist
+         |FROM r WHERE rnk <= 3""".stripMargin,
     "llm_vector_norms" ->
       """SELECT vec_id,
         |  ROUND(list_inner_product(CAST(embedding AS DOUBLE[]),

@@ -36,6 +36,24 @@ class VectorExpressionsSpec extends SparkTestBase {
         "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)))").head().isNullAt(0))
   }
 
+  test("PQ recall is at least IVF's on the ann_recall protocol") {
+    // protocol of llm_ann_recall: hits against the exact cosine top-3
+    // for queries vec_id < 10 (L2 and cosine ground truths coincide on
+    // the near-constant-norm fixture embeddings, so the ADC index is
+    // comparable on the same exact set).
+    val exact = graft.queries.LlmVectors.cosineTopk(spark, sf)
+      .filter(col("rnk") <= 3).select("q_id", "vec_id")
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = exact.join(approx.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_semi").count()
+      hits.toDouble / exact.count()
+    }
+    val pq = recallOf(graft.queries.LlmVectors.annPq(spark, sf))
+    val ivf = recallOf(graft.queries.LlmVectors.annIvf(spark, sf))
+    assert(pq >= ivf, s"PQ recall $pq < IVF recall $ivf")
+    assert(pq > 0.0)
+  }
+
   test("cosine agrees between codegen and interpreted paths on fixtures") {
     val e = graft.core.Tables.load(spark, sf, "embeddings").limit(50)
     val viaExpr = e.as("a").crossJoin(e.as("b"))
