@@ -753,15 +753,21 @@ object LlmText {
 
   /** Fingerprints: content hash over the sorted distinct token set plus
     * a winnowing-style min-shingle-hash. */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
     // ~50 md5s + an array sort per row: worth fanning the 1-task scan
-    // out across cores even though the op itself is narrow
-    val t = toks(col("text"))
-    docs(s, dir).repartition(fanout(s)).select(
-      col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(t)))).as("content_md5"),
-      array_min(transform(shingles(t), sh => md5(sh))).as("min_shingle_md5"))
-  }
+    // out across cores even though the op itself is narrow. The token
+    // array is STAGED behind a projection boundary so the split runs
+    // once per row — inlining it into both the sorted-distinct hash
+    // and shingles() (whose `when` guard defeats codegen subexpression
+    // reuse) re-split the text ~6x per row (same class as the round-6
+    // text_repetition regression).
+    docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("t")))))
+          .as("content_md5"),
+        array_min(transform(shingles(col("t")), sh => md5(sh)))
+          .as("min_shingle_md5"))
 
   /** Shingle CONTAINMENT (asymmetric Jaccard): |A∩B|/|A| and /|B| for
     * blocked candidate pairs — the contamination/sub-document-dup

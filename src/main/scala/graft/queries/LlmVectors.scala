@@ -229,6 +229,9 @@ object LlmVectors {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("sub"), col("cid"))
     }
+    // The trained codebook (M*k = 64 rows) feeds BOTH the corpus encode
+    // and the query LUT — materialize it once or the whole train
+    // pipeline (scan + explode + assign + recompute) runs per consumer.
     val codebook = assign(seeds)
       .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
       .groupBy("m", "cid", "pos")
@@ -237,6 +240,7 @@ object LlmVectors {
       .groupBy("m", "cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("cc")))).as("pc"))
       .select(col("m"), col("cid"), expr("transform(pc, p -> p.cc)").as("c"))
+      .localCheckpoint(eager = true)
     val codes = assign(codebook).select(col("vec_id"), col("m"), col("cid"))
     val qsubs = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
