@@ -487,6 +487,66 @@ object LlmText {
           round(lit(1.0) - col("n_distinct") / col("n_shingles").cast("double"), 6))
           .otherwise(0.0).as("rep_ratio"))
 
+  /** C4-style line-level boilerplate dedup, re-expressed over fixed
+    * 10-token segments (the fixture corpus has no newlines): a segment
+    * occurring in ≥2 DISTINCT documents is boilerplate (C4 removed any
+    * line repeated ≥3 times across the crawl); per doc the query
+    * reports segments, boilerplate segments, and tokens surviving the
+    * cut. Docs shorter than one full segment carry no segments and are
+    * excluded, and the trailing partial segment is ignored — pinned in
+    * the oracle.
+    *
+    * 100 TB shape: explode to (doc, segment-hash), one distinct + one
+    * groupBy on a 16-byte digest for the corpus-wide frequency table,
+    * then a hash join back — the same linear plan C4 ran over the
+    * whole crawl. No text ever shuffles, only hashes. */
+  def segmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segLen = 10
+    val base = docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        (size(col("t")) / segLen).cast("int").as("n_full"))
+      .filter(col("n_full") >= 1)
+    val segs = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), col("n_full") - 1),
+        i => md5(concat_ws(" ", slice(col("t"), i * segLen + 1, lit(segLen))))))
+        .as(Seq("seg_idx", "h")))
+    val freq = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+    val boiler = freq.filter(col("n_docs") >= 2)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    segs.join(boiler, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boilerplate"),
+        ((count(lit(1)) - sum(coalesce(col("is_boiler"), lit(0L))))
+          * segLen).as("tokens_kept"))
+  }
+
+  /** Vocabulary-truncation coverage: per source, the share of token
+    * OCCURRENCES covered by the corpus-wide top-20 tokens (by total
+    * frequency, ties by token) — the OOV-rate table that decides a
+    * tokenizer/vocab budget. One corpus-wide count, one top-k, one
+    * broadcast semi-join back over the per-source counts. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).repartition(fanout(s))
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+    val bySrcTerm = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    // top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
+    // partial top-k, no single-partition window)
+    val top = bySrcTerm.groupBy("term").agg(sum(col("c")).as("tot"))
+      .orderBy(col("tot").desc, col("term")).limit(20)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    bySrcTerm.join(broadcast(top), Seq("term"), "left")
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("c")).otherwise(0L))
+          .as("n_covered"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0) - col("n_covered") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
   /** Sequence packing: greedily pack docs into fixed token-budget
     * training sequences, per source, in deterministic md5 order —
     * pack_id = floor(running-token-count-before / budget). One window
@@ -824,6 +884,8 @@ object LlmText {
     "llm_dedup_stats" -> (dedupStats _),
     "llm_pipeline_e2e" -> (pipelineE2e _),
     "text_repetition" -> (textRepetition _),
+    "llm_segment_dedup" -> (segmentDedup _),
+    "llm_oov_rate" -> (oovRate _),
     "llm_seq_pack" -> (seqPack _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
@@ -1003,6 +1065,41 @@ object LlmText {
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 ON bi.w1 = c1.term
         |CROSS JOIN v
         |WHERE bi.doc_id < 50 GROUP BY bi.doc_id""".stripMargin,
+    "llm_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, t, CAST(len(t) // 10 AS INT) AS n_full
+        |      FROM d WHERE len(t) // 10 >= 1),
+        |segs AS (SELECT doc_id,
+        |           unnest(list_transform(range(n_full),
+        |             i -> md5(array_to_string(t[i*10+1 : i*10+10], ' ')))) AS h
+        |         FROM b),
+        |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+        |         FROM segs GROUP BY h)
+        |SELECT s.doc_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate,
+        |  CAST((COUNT(*) - SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END))
+        |       * 10 AS BIGINT) AS tokens_kept
+        |FROM segs s JOIN freq f USING (h)
+        |GROUP BY s.doc_id""".stripMargin,
+    "llm_oov_rate" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |bst AS (SELECT source, term, COUNT(*) AS c
+        |        FROM tok GROUP BY source, term),
+        |top AS (SELECT term FROM (
+        |          SELECT term, SUM(c) AS tot,
+        |            ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, term) AS rk
+        |          FROM bst GROUP BY term)
+        |        WHERE rk <= 20)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN term IN (SELECT term FROM top) THEN c
+        |           ELSE 0 END) AS BIGINT) AS n_covered,
+        |  ROUND(1.0 - SUM(CASE WHEN term IN (SELECT term FROM top) THEN c
+        |                  ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+        |FROM bst
+        |GROUP BY source""".stripMargin,
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,

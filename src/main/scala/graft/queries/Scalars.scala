@@ -101,6 +101,22 @@ object Scalars {
       get_json_object(col("props"), "$.k").cast("long").as("k_num"),
       from_json(col("props"), lit("k LONG")).getField("k").as("k_struct"))
 
+  /** Spark 4 VARIANT path over the same payloads: parse_json once into
+    * a variant column (staged behind a projection boundary), then typed
+    * variant_get extraction — the open-schema ingestion surface that
+    * replaces rigid from_json schemas for semi-structured 100 TB feeds
+    * (shredded storage + lazy per-path access instead of a full struct
+    * materialization per row). A missing path surfaces null, not an
+    * error, under variant_get's try semantics here. */
+  def jsonVariant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k_long"),
+        expr("variant_get(v, '$.k', 'double')").as("k_double"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("k_missing"))
+
   /** Array + higher-order functions over the embedding column. The
     * fold casts each float element to double *before* multiplying so the
     * oracle (which has no float arithmetic surprises) sees identical
@@ -158,6 +174,7 @@ object Scalars {
     "scalar_misc" -> (scalarMisc _),
     "scalar_conditional" -> (scalarConditional _),
     "json_extract" -> (jsonExtract _),
+    "json_variant" -> (jsonVariant _),
     "array_ops" -> (arrayOps _),
     "scalar_map" -> (scalarMap _),
     "scalar_struct" -> (scalarStruct _),
@@ -219,6 +236,12 @@ object Scalars {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+        |FROM events""".stripMargin,
+    "json_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
         |FROM events""".stripMargin,
     "array_ops" ->
       """SELECT vec_id, len(embedding) AS dim,
