@@ -44,7 +44,8 @@ object Bench {
     "llm_ann_ivf", "llm_semdedup", "llm_decontaminate", "llm_tfidf",
     "llm_kmeans_train", "llm_pipeline_e2e", "llm_stratified_split",
     "text_langid", "text_quality", "text_tokens", "text_pii_mask",
-    "mm_features", "mm_resize", "mm_frame_sample")
+    "mm_features", "mm_resize", "mm_frame_sample",
+    "join_bloom", "llm_ann_pq", "llm_segment_dedup", "mm_binary_ingest")
 
   /** Keep the final stdout line comfortably inside the collector's
     * 2000-char tail (sbt appends its own "[success] …" trailer). */
