@@ -43,8 +43,13 @@ object LlmText {
   private def rawShingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .repartition(fanout(s))
+      // token array staged behind a projection boundary: inlined into
+      // shingles() it would re-split per size check AND per element
+      // access in the transform lambda (PlanShapeSpec pins the staged
+      // single-split shape for the scalar twins)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("source"),
-        explode(shingles(toks(col("text")))).as("sh"))
+        explode(shingles(col("t"))).as("sh"))
 
   /** DISTINCT (doc_id, source, shingle-hash): shingles as xxhash64
     * int64s, so the distinct and every downstream join shuffle 8-byte
@@ -478,7 +483,8 @@ object LlmText {
     * (cheap longs, safe to duplicate). */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).repartition(fanout(s))
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles(col("t")).as("sh"))
       .select(col("doc_id"),
         size(col("sh")).cast("long").as("n_shingles"),
         size(array_distinct(col("sh"))).cast("long").as("n_distinct"))

@@ -36,7 +36,9 @@ object HtmlTableIngest {
   private val rowRe: Regex = "(?s)<tr[^>]*>(.*?)</tr>".r
   private val thRe: Regex = "(?s)<th[^>]*>(.*?)</th>".r
   private val tdRe: Regex = "(?s)<td[^>]*>(.*?)</td>".r
-  private val anchorRe: Regex = "(?s)<a[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>".r
+  // bs4 accepts either quoting style for attributes; so does this.
+  private val anchorRe: Regex =
+    "(?s)<a[^>]*href=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>".r
 
   /** Tag-strip + decode of the entities the scraped tables actually
     * carry (bs4's `.text` decodes all entities; the named/numeric

@@ -45,6 +45,13 @@ class IngestSpec extends SparkTestBase {
       "https://www.example.com/indices/sp-500-historical-data"))
     // anchor-less (malformed) link row dropped, not crashed on
     assert(links.size == 3)
+    // single-quoted hrefs and nested tags in the anchor text parse too
+    val alt = HtmlTableIngest.linkTable(
+      """<tbody class="datatable"><tr><td>
+        |<a href='/indices/ftse-100'><b>FTSE</b> 100</a>
+        |</td></tr></tbody>""".stripMargin, "https://www.example.com")
+    assert(alt == Seq(HtmlTableIngest.StockLink("FTSE 100",
+      "https://www.example.com/indices/ftse-100-historical-data")))
     // a page without the datatable tbody fails loudly
     intercept[IllegalArgumentException] {
       HtmlTableIngest.linkTable("<html><tbody class=\"plain\"></tbody></html>",

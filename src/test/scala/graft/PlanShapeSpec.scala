@@ -54,4 +54,24 @@ class PlanShapeSpec extends SparkTestBase {
       (p.contains("o_orderpriority#") || p.contains("o_orderpriority IN")),
       s"priority predicate did not become a partition filter:\n$p")
   }
+
+  test("staged text queries build the token array once per row") {
+    // the round-6 regression class: inlining the split into several
+    // consumers (behind `when` guards that defeat codegen CSE) ran it
+    // up to ~6x per row. The staged plans must carry exactly ONE
+    // split(text ...) across the whole physical tree.
+    for (q <- Seq("text_repetition", "text_fingerprint")) {
+      val p = physical(q)
+      val n = "split\\(text".r.findAllIn(p).size
+      assert(n == 1, s"$q evaluates split(text) $n times; expected 1:\n$p")
+    }
+  }
+
+  test("llm_segment_dedup: boilerplate set joins back as a hash join") {
+    val p = physical("llm_segment_dedup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), s"no equi-join on digest:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
