@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.Tables
 
@@ -129,12 +129,30 @@ object Analytics {
   /** Per-group z-score outlier detection: prices more than 1.5 sample
     * standard deviations from their supplier's mean. The stats side is
     * one row per supplier — broadcast back to the fact table, so the
-    * fact side never shuffles. */
+    * fact side never shuffles.
+    *
+    * Determinism: the 1.5-sd cut is a FILTER, so a ulp of divergence
+    * in an incremental avg/stddev doesn't just flip a rounded digit,
+    * it flips row membership. Per the repo playbook the moments come
+    * from exact decimal sums (n, Σx, Σx²) converted once to double and
+    * combined with the same expression tree on both engines. Σx² is
+    * rounded (exact decimal op, identical both sides) to scale 2 first:
+    * its scale-8 unscaled value tops 2^53 where DuckDB's wide-decimal →
+    * double conversion is 1 ulp off Java's (the dsum2 rule). */
   def aggZscore(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val st = li.groupBy("l_suppkey")
-      .agg(avg("l_extendedprice").as("mu"),
-        stddev_samp("l_extendedprice").as("sd"))
+      .agg(count(col("l_extendedprice")).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sx"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))
+            * col("l_extendedprice").cast(DecimalType(18, 4))), 2)
+          .cast(DoubleType).as("sxx"))
+      .select(col("l_suppkey"), col("n").cast(DoubleType).as("nd"),
+        col("sx"), col("sxx"))
+      .select(col("l_suppkey"), (col("sx") / col("nd")).as("mu"),
+        sqrt((col("nd") * col("sxx") - col("sx") * col("sx")) /
+          (col("nd") * (col("nd") - lit(1.0d)))).as("sd"))
     li.join(broadcast(st), "l_suppkey")
       .withColumn("z0", (col("l_extendedprice") - col("mu")) / col("sd"))
       .filter(abs(col("z0")) > 1.5)
@@ -345,8 +363,17 @@ object Analytics {
         |JOIN uni u2 ON u2.tok = cnt.w2
         |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "agg_zscore" ->
-      """WITH st AS (SELECT l_suppkey, AVG(l_extendedprice) AS mu, STDDEV_SAMP(l_extendedprice) AS sd
-        |            FROM lineitem GROUP BY 1)
+      """WITH m AS (SELECT l_suppkey, COUNT(l_extendedprice) AS n,
+        |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |             -- DECIMAL(19,4): >18 digits forces DuckDB's int128
+        |             -- storage so the product can't overflow int64; the
+        |             -- value is exact either way, matching Spark's (18,4)²
+        |             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+        |                            * CAST(l_extendedprice AS DECIMAL(19,4))), 2) AS DOUBLE) AS sxx
+        |           FROM lineitem GROUP BY 1),
+        |st AS (SELECT l_suppkey, sx / n AS mu,
+        |         SQRT((n*sxx - sx*sx) / (n*(n-1.0))) AS sd
+        |       FROM m)
         |SELECT l.l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |       ROUND((l_extendedprice - mu) / sd, 4) AS z
         |FROM lineitem l JOIN st ON l.l_suppkey = st.l_suppkey
