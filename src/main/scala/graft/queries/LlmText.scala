@@ -493,6 +493,63 @@ object LlmText {
           round(lit(1.0) - col("n_distinct") / col("n_shingles").cast("double"), 6))
           .otherwise(0.0).as("rep_ratio"))
 
+  /** Incremental batch-vs-corpus dedup — the production ingest shape:
+    * an EXISTING corpus (sources src0-src9) is an index the INCOMING
+    * batch (src10+) probes; incoming docs never compare against each
+    * other. Layer 1 drops exact matches (normalized-text digest
+    * semi-join against the existing digest set); layer 2 drops
+    * near-dups (incoming MinHash band signatures joined against the
+    * existing side's only, verified at shingle-Jaccard ≥ 0.5 — the
+    * [[minhashNearDup]] protocol). Per incoming source: batch size,
+    * drops per layer, survivors.
+    *
+    * 100 TB shape: the existing index (digests + band signatures) is
+    * materialized once and reused per batch; probe cost scales with
+    * the BATCH, not the corpus. Membership joins run on doc_id/digest
+    * keys — no broadcast of corpus-sized sides. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val isExisting = substring(col("source"), 4, 10).cast("int") < 10
+    val d = docs(s, dir)
+    val norm = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val existingNorm = d.filter(isExisting).select(norm.as("norm_md5")).distinct()
+    val incoming = d.filter(!isExisting)
+    def exactDropped = incoming.select(col("doc_id"), norm.as("norm_md5"))
+      .join(existingNorm, Seq("norm_md5"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("exact_dup"))
+    val raw = rawShingles(s, dir).persist()
+    try {
+      val side = d.select(col("doc_id"), isExisting.as("ex"))
+      val sigs = minhashSigsFrom(raw).join(side, "doc_id")
+      val exSigs = sigs.filter(col("ex"))
+        .select(col("doc_id").as("ex_id"), col("band"), col("sig"))
+      val inSigs = sigs.filter(!col("ex"))
+        .join(exactDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("in_id"), col("band"), col("sig"))
+      val cands = inSigs.join(exSigs, Seq("band", "sig"))
+        .select(col("in_id").as("doc_a"), col("ex_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val candDocs = cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val nearDropped = withJaccard(
+          hashedShingleSet(raw.join(candDocs, Seq("doc_id"), "left_semi")),
+          cands)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("doc_id")).distinct()
+        .select(col("doc_id"), lit(1L).as("near_dup"))
+      incoming.select(col("doc_id"), col("source"))
+        .join(exactDropped, Seq("doc_id"), "left")
+        .join(nearDropped, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("exact_dup"), lit(0L))).as("n_exact_dup"),
+          sum(coalesce(col("near_dup"), lit(0L))).as("n_near_dup"),
+          sum(when(col("exact_dup").isNull && col("near_dup").isNull, 1L)
+            .otherwise(0L)).as("n_kept"))
+        .localCheckpoint(eager = true)
+    } finally raw.unpersist(blocking = false)
+  }
+
   /** C4-style line-level boilerplate dedup, re-expressed over fixed
     * 10-token segments (the fixture corpus has no newlines): a segment
     * occurring in ≥2 DISTINCT documents is boilerplate (C4 removed any
@@ -892,6 +949,7 @@ object LlmText {
     "text_repetition" -> (textRepetition _),
     "llm_segment_dedup" -> (segmentDedup _),
     "llm_oov_rate" -> (oovRate _),
+    "llm_incremental_dedup" -> (incrementalDedup _),
     "llm_seq_pack" -> (seqPack _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
@@ -1071,6 +1129,50 @@ object LlmText {
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 ON bi.w1 = c1.term
         |CROSS JOIN v
         |WHERE bi.doc_id < 50 GROUP BY bi.doc_id""".stripMargin,
+    "llm_incremental_dedup" ->
+      s"""WITH $shingleCte,
+         |side AS (SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) < 10 AS ex
+         |         FROM documents),
+         |norm AS (SELECT doc_id,
+         |           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |         FROM documents),
+         |exdrop AS (SELECT n.doc_id FROM norm n JOIN side s USING (doc_id)
+         |           WHERE NOT s.ex AND n.h IN
+         |             (SELECT h FROM norm JOIN side USING (doc_id) WHERE ex)),
+         |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
+         |sigs AS (SELECT doc_id, band,
+         |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
+         |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
+         |         FROM bands GROUP BY doc_id, band),
+         |insigs AS (SELECT g.doc_id, band, sig FROM sigs g JOIN side s USING (doc_id)
+         |           WHERE NOT s.ex
+         |             AND g.doc_id NOT IN (SELECT doc_id FROM exdrop)),
+         |exsigs AS (SELECT g.doc_id, band, sig FROM sigs g JOIN side s USING (doc_id)
+         |           WHERE s.ex),
+         |cands AS (SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+         |          FROM insigs i JOIN exsigs e
+         |            ON i.band = e.band AND i.sig = e.sig),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |          FROM cands c
+         |          JOIN sh a ON a.doc_id = c.doc_a
+         |          JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         |          GROUP BY c.doc_a, c.doc_b),
+         |near AS (SELECT DISTINCT i.doc_a AS doc_id
+         |         FROM inter i JOIN sizes za ON i.doc_a = za.doc_id
+         |         JOIN sizes zb ON i.doc_b = zb.doc_id
+         |         WHERE i.n_inter
+         |           / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.5)
+         |SELECT source, COUNT(*) AS n_in,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM exdrop)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |  CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM exdrop)
+         |                 AND doc_id NOT IN (SELECT doc_id FROM near)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents JOIN side USING (doc_id)
+         |WHERE NOT ex GROUP BY source""".stripMargin,
     "llm_segment_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |b AS (SELECT doc_id, t, CAST(len(t) // 10 AS INT) AS n_full
