@@ -143,6 +143,30 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Idempotent-ingest dedup against a STATIC seen-set: incoming events
+    * (event_id % 5 != 0) are checked against the digest index of the
+    * already-ingested history (event_id % 5 == 0) — same user, same
+    * action, same payload ⇒ duplicate delivery, dropped. The join is
+    * stream-static LEFT OUTER + null-check (the anti-join shape
+    * Structured Streaming actually supports against a static side);
+    * the static digest set broadcasts per micro-batch, so the stream
+    * holds NO state for it — this is the streaming twin of
+    * [[graft.queries.LlmText.incrementalDedup]]'s exact layer. */
+  def streamAntiDedup(e: DataFrame, seen: DataFrame): DataFrame = {
+    def dg = md5(concat_ws("|",
+      col("user_id"), col("event_type"), col("props")))
+    val seenD = seen.filter(col("event_id") % 5 === 0)
+      .select(dg.as("seen_digest")).distinct()
+    val in = e.filter(col("event_id") % 5 =!= 0).withColumn("digest", dg)
+    in.join(broadcast(seenD), col("digest") === col("seen_digest"),
+        "left_outer")
+      .withColumn("is_dup", col("seen_digest").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
@@ -155,7 +179,9 @@ object StreamingOps {
     "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(ev(s, d))),
     "stream_static_join" -> ((s, d) =>
-      streamStaticJoin(ev(s, d), Tables.load(s, d, "customer"))))
+      streamStaticJoin(ev(s, d), Tables.load(s, d, "customer"))),
+    "stream_anti_dedup" -> ((s, d) =>
+      streamAntiDedup(ev(s, d), ev(s, d))))
 
   // DuckDB twins over CAST(ts AS TIMESTAMP) (micros, matching Spark's
   // nanos→micros read).
@@ -231,5 +257,17 @@ object StreamingOps {
       """SELECT c_nationkey, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_nationkey""".stripMargin)
+        |GROUP BY c_nationkey""".stripMargin,
+    "stream_anti_dedup" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             md5(concat_ws('|', user_id, event_type, props)) AS dg
+        |           FROM events),
+        |seen AS (SELECT DISTINCT dg FROM e WHERE event_id % 5 = 0)
+        |SELECT event_type, COUNT(*) AS n_in,
+        |  CAST(SUM(CASE WHEN dg IN (SELECT dg FROM seen)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN dg IN (SELECT dg FROM seen)
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM e WHERE event_id % 5 <> 0
+        |GROUP BY event_type""".stripMargin)
 }
