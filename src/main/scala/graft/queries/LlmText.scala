@@ -610,6 +610,27 @@ object LlmText {
           .as("oov_rate"))
   }
 
+  /** Training-shard export: deterministic md5-derived shard assignment
+    * (docs land on 16 shards independent of partitioning, cluster size,
+    * or insertion order — the property a resumable training reader
+    * needs) plus the balance report that decides whether hash sharding
+    * suffices: per-shard docs, tokens, and token skew vs the mean
+    * shard. One groupBy; the global mean broadcasts back as a 1-row
+    * frame. */
+  def trainShards(s: SparkSession, dir: String): DataFrame = {
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 16
+    val perShard = docs(s, dir).repartition(fanout(s))
+      .select(shard.as("shard"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+    val mean = perShard.agg(
+      (sum(col("shard_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
+    perShard.crossJoin(broadcast(mean))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        round(col("shard_tokens") / col("mean_tokens"), 4).as("skew"))
+  }
+
   /** Sequence packing: greedily pack docs into fixed token-budget
     * training sequences, per source, in deterministic md5 order —
     * pack_id = floor(running-token-count-before / budget). One window
@@ -950,6 +971,7 @@ object LlmText {
     "llm_segment_dedup" -> (segmentDedup _),
     "llm_oov_rate" -> (oovRate _),
     "llm_incremental_dedup" -> (incrementalDedup _),
+    "llm_train_shards" -> (trainShards _),
     "llm_seq_pack" -> (seqPack _),
     "llm_weighted_sample" -> (weightedSample _),
     "llm_corpus_mix" -> (corpusMix _),
@@ -1129,6 +1151,19 @@ object LlmText {
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 ON bi.w1 = c1.term
         |CROSS JOIN v
         |WHERE bi.doc_id < 50 GROUP BY bi.doc_id""".stripMargin,
+    "llm_train_shards" ->
+      """WITH d AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                  AS BIGINT) % 16 AS shard,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |ps AS (SELECT shard, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        |       FROM d GROUP BY shard),
+        |m AS (SELECT SUM(shard_tokens) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+        |      FROM ps)
+        |SELECT shard, n_docs, shard_tokens,
+        |  ROUND(shard_tokens / mean_tokens, 4) AS skew
+        |FROM ps CROSS JOIN m""".stripMargin,
     "llm_incremental_dedup" ->
       s"""WITH $shingleCte,
          |side AS (SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) < 10 AS ex
