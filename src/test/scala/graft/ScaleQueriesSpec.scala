@@ -56,6 +56,49 @@ class ScaleQueriesSpec extends SparkTestBase {
       != "0")
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    import graft.core.Tables
+    // 90% of fact rows pile onto key 0 — the hot-partition shape that
+    // salting (join_salted) handles manually; this pins that Spark's
+    // OptimizeSkewedJoin handles it adaptively when thresholds allow.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      // thresholds sized for the COMPRESSED shuffle bytes of the hot
+      // partition (a constant key column compresses to almost nothing;
+      // the price column below keeps the partition incompressible)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // repartition(8) first: a compact single-file scan is ONE map
+      // task, and AQE splits a skewed reduce partition by MAP-output
+      // ranges — with a single mapper there is nothing to split along.
+      val fact = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+        .repartition(8)
+        .select(when(col("l_orderkey") % 100 < 90, 0L)
+          .otherwise(col("l_orderkey") % 100).as("k"),
+          col("l_extendedprice"))
+      val dim = spark.range(100).select(col("id").as("k"),
+        (col("id") * 7).as("attr"))
+      val j = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("attr")).as("s"),
+          round(sum(col("l_extendedprice")), 2).as("p"))
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+      assert(rows.head.getAs[Long]("n") ==
+        Tables.load(spark, "/root/testdata/sf0.01", "lineitem").count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("join_band plans a hash join, never a nested-loop/cartesian") {
     val df = graft.queries.ScaleOps.joinBand(spark, "/root/testdata/sf0.01")
     val plan = df.queryExecution.executedPlan.toString
