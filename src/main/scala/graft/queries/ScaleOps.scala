@@ -123,6 +123,28 @@ object ScaleOps {
           .as("sum_value"))
   }
 
+  /** XML sink + source round-trip (Spark 4 ships the XML datasource
+    * natively): write an element per row under `rowTag`, read back
+    * with schema inference, and aggregate — the "mixed legacy feed"
+    * member of the format family next to CSV/JSONL/ORC/parquet.
+    * Integer microseconds (not timestamps) cross the text format, so
+    * the round-trip is value-exact. */
+  def scanXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir") + "/graft_xml_roundtrip"
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "event").save(path)
+    s.read.format("xml").option("rowTag", "event").load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("us").as("first_us"), max("us").as("last_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|x|/127,
     * q_i = clamp(floor(x_i/scale + 0.5), ±127). Engine-neutral
     * determinism: quantized values are exact small integers (summed as
@@ -477,6 +499,7 @@ object ScaleOps {
     "join_bucketed" -> (joinBucketed _),
     "join_band" -> (joinBand _),
     "scan_orc_roundtrip" -> (scanOrcRoundtrip _),
+    "scan_xml_roundtrip" -> (scanXmlRoundtrip _),
     "llm_quantize_int8" -> (llmQuantizeInt8 _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "etl_compact" -> (etlCompact _),
@@ -512,6 +535,12 @@ object ScaleOps {
         |  ON b.event_id <> a.event_id AND abs(b.us - a.us) <= 300000000
         |GROUP BY a.event_id""".stripMargin,
     "scan_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "scan_xml_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
         |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
         |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
