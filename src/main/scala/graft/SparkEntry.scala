@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Advanced.queries ++
       graft.queries.ScaleOps.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Analytics2.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.Advanced.oracle ++
       graft.queries.ScaleOps.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.Analytics2.oracle ++

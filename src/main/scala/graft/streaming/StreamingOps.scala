@@ -167,10 +167,38 @@ object StreamingOps {
         sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
   }
 
+  /** Scheduler-shaped incremental run — the Spark-native replacement
+    * for the reference's cron DAG (`stock_scraper_dag.py:10-42`,
+    * SURVEY §2A O2's "out of engine scope" boundary): a REAL streaming
+    * query with `Trigger.AvailableNow` processes everything currently
+    * in the source through the normal checkpointed streaming path,
+    * then terminates — so an external scheduler only ever says "run
+    * once now", and exactly-once state/offsets live in the engine, not
+    * the orchestrator. This graded query executes the streaming job
+    * (file source → complete-mode agg → memory sink) and surfaces the
+    * sink table; the oracle recomputes the same aggregate in batch,
+    * pinning that an incremental run over a static source equals the
+    * batch answer. */
+  def availableNowRun(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.DecimalType
+    val q = eventsStream(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_value"))
+      .writeStream.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_avail_now").start()
+    try q.awaitTermination() finally q.stop()
+    s.table("graft_avail_now")
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_available_now" -> (availableNowRun _),
     "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
     "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
     "stream_hll_window" -> ((s, d) => hllWindow(ev(s, d))),
@@ -186,6 +214,10 @@ object StreamingOps {
   // DuckDB twins over CAST(ts AS TIMESTAMP) (micros, matching Spark's
   // nanos→micros read).
   val oracle: Map[String, String] = Map(
+    "stream_available_now" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
