@@ -945,7 +945,39 @@ object LlmText {
       .localCheckpoint(eager = true)
   }
 
+  /** MinHash-banding RECALL against exhaustive ground truth — the
+    * llm_ann_recall protocol applied to the dedup path: a banded-LSH
+    * configuration is only trustworthy with a measured miss rate.
+    * Ground truth is every pair with exact shingle Jaccard ≥ 0.5
+    * over shared-shingle blocking with NO source restriction — at
+    * J ≥ 0.5 a pair always shares a shingle, so this blocking is
+    * exhaustive, not approximate, and still never all-pairs (the
+    * self-join only meets within shingle buckets). The LSH side is
+    * the graded near-dup pipeline itself; its verify step already
+    * enforces J ≥ 0.5, so lsh ⊆ truth and recall = n_lsh / n_truth —
+    * n_hit is materialized anyway to keep the metric honest if the
+    * verify threshold ever drifts. */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(s, dir)
+    val truthCands = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = withJaccard(sh, truthCands)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .localCheckpoint(eager = true)
+    val lsh = minhashNearDup(s, dir).select("doc_a", "doc_b")
+    val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_minhash_recall" -> (minhashRecall _),
     "text_containment" -> (textContainment _),
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_sigs" -> (minhashSignatures _),
@@ -1387,6 +1419,41 @@ object LlmText {
          |            ON a.source = b.source AND a.sh = b.sh
          |           AND a.doc_id < b.doc_id),
          |$jaccardTail""".stripMargin,
+    "llm_minhash_recall" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |tc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |ti AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |       FROM tc c JOIN sh sa ON sa.doc_id = c.doc_a
+         |                 JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+         |       GROUP BY c.doc_a, c.doc_b),
+         |truth AS (SELECT doc_a, doc_b FROM ti
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+         |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
+         |sigs AS (SELECT doc_id, band,
+         |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
+         |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
+         |         FROM bands GROUP BY doc_id, band),
+         |lc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+         |        AND a.doc_id < b.doc_id),
+         |li AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |       FROM lc c JOIN sh sa ON sa.doc_id = c.doc_a
+         |                 JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+         |       GROUP BY c.doc_a, c.doc_b),
+         |lsh AS (SELECT doc_a, doc_b FROM li
+         |        JOIN sizes za ON za.doc_id = doc_a
+         |        JOIN sizes zb ON zb.doc_id = doc_b
+         |        WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+         |hit AS (SELECT * FROM truth INTERSECT SELECT * FROM lsh)
+         |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         |       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         |       (SELECT COUNT(*) FROM hit) AS n_hit,
+         |       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+         |             / (SELECT COUNT(*) FROM truth), 4) AS recall""".stripMargin,
     "llm_simhash" ->
       """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
         |             FROM documents),

@@ -69,6 +69,27 @@ object Udfs {
       .agg(round(vwap(col("l_extendedprice"), col("l_quantity")), 4).as("vwap"))
   }
 
+  /** SQL-bodied UDF (Spark 4 `CREATE FUNCTION … RETURN <expr>`): the
+    * fourth UDF surface — unlike the Scala UDF above, the body is a
+    * SQL expression, so Catalyst INLINES it at analysis time and the
+    * query plans/codegens exactly as if the expression were written
+    * in place (no serialization boundary, full pushdown — the form to
+    * recommend whenever the logic is expressible in SQL). Decimal
+    * accumulation matches the engine's sum_disc determinism rule. */
+  def udfSqlFunction(s: SparkSession, dir: String): DataFrame = {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DECIMAL(27,8)
+        |RETURN CAST(p AS DECIMAL(18,4)) * CAST(1 - d AS DECIMAL(8,4))""".stripMargin)
+    Tables.load(s, dir, "lineitem")
+      .createOrReplaceTempView("graft_sqlf_lineitem")
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(graft_disc_price(l_extendedprice, l_discount)), 2)
+        |       AS DOUBLE) AS sum_disc
+        |FROM graft_sqlf_lineitem GROUP BY l_returnflag""".stripMargin)
+  }
+
   /** Generator (UDTF-shape): posexplode tokens with 1-based positions. */
   def udtfPosexplode(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -80,6 +101,7 @@ object Udfs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_magnitude_sql" -> (udfMagnitudeSql _),
+    "udf_sql_function" -> (udfSqlFunction _),
     "udaf_vwap" -> (udafVwap _),
     "udtf_posexplode" -> (udtfPosexplode _))
 
@@ -89,6 +111,12 @@ object Udfs {
         |  ROUND(l_quantity * 1000, 4) AS qty_k,
         |  CAST(NULL AS DOUBLE) AS bad
         |FROM lineitem""".stripMargin,
+    "udf_sql_function" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+        |       AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "udaf_vwap" ->
       """SELECT l_suppkey,
         |  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS vwap
