@@ -24,7 +24,49 @@ object AsOf {
   /** @param outCol name of the added column holding the as-of matched
     *               right timestamp (null when no right row precedes). */
   def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, outCol: String): DataFrame =
+    asOfDirected(left, right, keys, leftTs, rightTs, outCol,
+      backward = true)
+
+  /** FORWARD as-of: earliest right row at-or-AFTER each left row —
+    * the "next scheduled event" direction (next rebalance after a
+    * trade, next deploy after an alert). Same union-and-carry shape
+    * as the backward join, traversed in descending time order; ties
+    * still match (at-or-after includes equality). */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, outCol: String): DataFrame =
+    asOfDirected(left, right, keys, leftTs, rightTs, outCol,
+      backward = false)
+
+  /** NEAREST as-of: whichever of the backward/forward matches is
+    * closer in absolute time; equidistant ties take the BACKWARD match
+    * (pinned — engines disagree on this tie, so the operator decides).
+    * Two linear window passes over the same key partitioning — the
+    * second pass reuses the first's shuffle output partitioning, so
+    * the marginal cost is one more in-partition sort, not a shuffle. */
+  def leftAsOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, outCol: String): DataFrame = {
+    val taken = (left.columns ++ right.columns).toSet + outCol
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!taken.contains(_)).get
+    val backC = fresh("__back"); val fwdC = fresh("__fwd")
+    val withBoth = leftAsOfForward(
+      leftAsOf(left, right, keys, leftTs, rightTs, backC),
+      right, keys, leftTs, rightTs, fwdC)
+    def us(c: String) = unix_micros(col(c))
+    withBoth
+      .withColumn(outCol,
+        when(col(backC).isNull, col(fwdC))
+          .when(col(fwdC).isNull, col(backC))
+          .when(us(leftTs) - us(backC) <= us(fwdC) - us(leftTs), col(backC))
+          .otherwise(col(fwdC)))
+      .drop(backC, fwdC)
+  }
+
+  private def asOfDirected(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, outCol: String,
+      backward: Boolean): DataFrame = {
     // Helper columns must not collide with user columns on either input
     // (withColumn would silently REPLACE them and the final drop would
     // remove the user's data) — pick the first unused suffixed names.
@@ -43,8 +85,13 @@ object AsOf {
       .select((keys.map(col) :+ col(rightTs).as(tsC) :+
         col(rightTs).as(rtsC)): _*)
       .withColumn(sideC, lit(0))
+    // Backward scans time ascending (carry the latest right row seen);
+    // forward scans descending (carry the earliest right row still
+    // ahead). Right-before-left on equal timestamps in BOTH directions
+    // keeps ties matching ("at-or-before" / "at-or-after").
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsC).asc, col(sideC).asc)
+      .orderBy(if (backward) col(tsC).asc else col(tsC).desc,
+        col(sideC).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     lt.unionByName(rt, allowMissingColumns = true)
       .withColumn(outCol, last(col(rtsC), ignoreNulls = true).over(w))

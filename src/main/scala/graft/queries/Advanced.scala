@@ -128,12 +128,60 @@ object Advanced {
         StructField("max_qty", DoubleType))))
   }
 
+  /** The custom source's STREAMING face driven end-to-end: the same
+    * TickSource read through `readStream` becomes an offset-cursored
+    * micro-batch stream (offset = next unread tick_id) whose
+    * admission control caps each batch at `batchRows` ids — so this
+    * graded query executes a real multi-batch incremental drain under
+    * `Trigger.AvailableNow` and must still equal the oracle's
+    * one-shot recompute. This is the contract that makes a custom
+    * connector trustworthy in production: batch and streaming reads
+    * of the same table agree bit-for-bit. */
+  def streamDsv2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = s.readStream.format("graft.sources.TickSource")
+      .option("rows", "100000").option("parts", "8")
+      .option("batchRows", "30000").load()
+      .groupBy("sym")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+      .writeStream.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_dsv2").start()
+    try q.awaitTermination() finally q.stop()
+    s.table("graft_stream_dsv2")
+  }
+
+  /** SQL scripting (Spark 4 `BEGIN … END` with session variables): a
+    * two-step procedural flow — compute a corpus statistic into a
+    * variable, then parameterize the main query with it — expressed
+    * entirely in SQL, the migration target for warehouse stored
+    * procedures. The threshold is decimal-averaged and rounded to 2
+    * decimals so the variable's value (and therefore the `>` boundary)
+    * is bit-identical in both engines. */
+  def sqlScripting(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_script_orders")
+    s.sql(
+      """BEGIN
+        |  DECLARE avg_price DOUBLE DEFAULT 0.0;
+        |  SET avg_price =
+        |    (SELECT CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |            AS DOUBLE) FROM graft_script_orders);
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_totalprice > avg_price THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_above,
+        |    avg_price AS threshold
+        |  FROM graft_script_orders GROUP BY o_orderpriority;
+        |END""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_recursive_walk" -> (sqlRecursiveWalk _),
     "scan_dsv2" -> (scanDsv2 _),
     "scan_dsv2_agg" -> (scanDsv2Agg _),
+    "sql_scripting" -> (sqlScripting _),
+    "stream_dsv2" -> (streamDsv2 _),
     "etl_observe" -> (etlObserve _))
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +230,22 @@ object Advanced {
         |       MIN(day) AS min_day, MAX(day) AS max_day
         |FROM t WHERE tick_id < 150000
         |GROUP BY sym""".stripMargin,
+    "stream_dsv2" ->
+      """WITH t AS (
+        |  SELECT ['ALPHA','BETA','GAMMA','DELTA','EPS','ZETA','ETA','THETA']
+        |           [CAST(i % 8 AS INT) + 1] AS sym,
+        |         1000 + (i * 37) % 9000 AS price_cents
+        |  FROM generate_series(0, 99999) AS g(i))
+        |SELECT sym, COUNT(*) AS n, CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY sym""".stripMargin,
+    "sql_scripting" ->
+      """WITH a AS (SELECT CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |                  AS DOUBLE) AS ap FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_totalprice > ap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above,
+        |  ap AS threshold
+        |FROM orders, a GROUP BY o_orderpriority, ap""".stripMargin,
     "etl_observe" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)

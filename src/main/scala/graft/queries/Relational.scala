@@ -255,6 +255,42 @@ object Relational {
         date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_at"))
   }
 
+  /** Forward as-of: for each error event, the EARLIEST signup of the
+    * same user at-or-after it — the "next scheduled event" direction
+    * of [[graft.operators.AsOf.leftAsOfForward]]. Same single-shuffle
+    * union-and-carry plan as `join_asof`, traversed descending. */
+  def joinAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOf.leftAsOfForward(
+        errors, signups, Seq("user_id"), "ts", "ts", "next_signup_ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_at"),
+        date_format(col("next_signup_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("next_signup_at"))
+  }
+
+  /** Nearest as-of: closest signup in either direction, equidistant
+    * ties pinned to the backward match ([[graft.operators.AsOf
+    * .leftAsOfNearest]]) — engines disagree on nearest-tie semantics,
+    * so the operator (and the oracle, identically) decides. */
+  def joinAsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOf.leftAsOfNearest(
+        errors, signups, Seq("user_id"), "ts", "ts", "nearest_signup_ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_at"),
+        date_format(col("nearest_signup_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("nearest_signup_at"))
+  }
+
   /** Pure theta (inequality-only) join — bounded to the two dimension
     * tables, where a nested-loop is the right plan; a fact-scale theta
     * join would instead be banded into an equi-join on a bucket key
@@ -884,6 +920,8 @@ object Relational {
     "join_anti" -> (joinAnti _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsOf _),
+    "join_asof_forward" -> (joinAsOfForward _),
+    "join_asof_nearest" -> (joinAsOfNearest _),
     "join_theta" -> (joinTheta _),
     "agg_pivot" -> (aggPivot _),
     "reshape_unpivot" -> (reshapeUnpivot _),
@@ -1250,6 +1288,38 @@ object Relational {
         |  strftime(sig.ts, '%Y-%m-%d %H:%M:%S') AS signup_at
         |FROM err ASOF LEFT JOIN sig
         |  ON err.user_id = sig.user_id AND err.ts >= sig.ts""".stripMargin,
+    // Forward/nearest oracles avoid DuckDB's ASOF direction support and
+    // recompute from conditional min/max aggregates per error row —
+    // quadratic in the oracle only; the engine side stays linear.
+    "join_asof_forward" ->
+      """WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events WHERE event_type = 'error'),
+        |     sig AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_at,
+        |  strftime(MIN(CASE WHEN s.ts >= e.ts THEN s.ts END),
+        |           '%Y-%m-%d %H:%M:%S') AS next_signup_at
+        |FROM err e LEFT JOIN sig s ON e.user_id = s.user_id
+        |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events WHERE event_type = 'error'),
+        |     sig AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events WHERE event_type = 'signup'),
+        |bt AS (SELECT e.event_id, e.user_id, e.ts,
+        |           MAX(CASE WHEN s.ts <= e.ts THEN s.ts END) AS back,
+        |           MIN(CASE WHEN s.ts >= e.ts THEN s.ts END) AS fwd
+        |         FROM err e LEFT JOIN sig s ON e.user_id = s.user_id
+        |         GROUP BY e.event_id, e.user_id, e.ts)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_at,
+        |  strftime(CASE
+        |    WHEN back IS NULL THEN fwd
+        |    WHEN fwd IS NULL THEN back
+        |    WHEN epoch_us(ts) - epoch_us(back) <= epoch_us(fwd) - epoch_us(ts)
+        |      THEN back ELSE fwd END, '%Y-%m-%d %H:%M:%S') AS nearest_signup_at
+        |FROM bt""".stripMargin,
     "win_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

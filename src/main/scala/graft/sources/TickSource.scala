@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +53,8 @@ class TickSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new TickTable(
       math.max(1L, properties.getOrDefault("rows", "100000").toLong),
-      math.max(1, properties.getOrDefault("parts", "8").toInt))
+      math.max(1, properties.getOrDefault("parts", "8").toInt),
+      math.max(1L, properties.getOrDefault("batchRows", "25000").toLong))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -71,14 +73,15 @@ object TickSource {
   def priceCents(i: Long): Long = 1000L + (i * 37) % 9000
 }
 
-private[sources] class TickTable(rows: Long, parts: Int)
+private[sources] class TickTable(rows: Long, parts: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-ticks($rows)"
   override def schema(): StructType = TickSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TickScanBuilder(rows, parts)
+    new TickScanBuilder(rows, parts, batchRows)
 }
 
 /** One pushed aggregate column: `op` ∈ count|sum|min|max over `field`
@@ -86,7 +89,8 @@ private[sources] class TickTable(rows: Long, parts: Int)
 private[sources] case class AggSpec(op: String, field: String,
     outType: DataType)
 
-private[sources] class TickScanBuilder(rows: Long, parts: Int)
+private[sources] class TickScanBuilder(rows: Long, parts: Int,
+    batchRows: Long = 25000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -162,8 +166,8 @@ private[sources] class TickScanBuilder(rows: Long, parts: Int)
   override def build(): Scan =
     if (aggPushed)
       new TickScan(rows, parts, aggOutputSchema, pushed,
-        Some((aggGroup, aggSpecs)))
-    else new TickScan(rows, parts, required, pushed, None)
+        Some((aggGroup, aggSpecs)), batchRows)
+    else new TickScan(rows, parts, required, pushed, None, batchRows)
 
   /** Scan output under pushed aggregation: group columns (source
     * types), then one column per aggregate, in declaration order —
@@ -180,7 +184,8 @@ private[sources] case class TickRange(start: Long, end: Long)
 
 private[sources] class TickScan(rows: Long, parts: Int,
     required: StructType, pushed: Array[Filter],
-    agg: Option[(Array[String], Array[AggSpec])])
+    agg: Option[(Array[String], Array[AggSpec])],
+    batchRows: Long = 25000L)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -229,6 +234,61 @@ private[sources] class TickScan(rows: Long, parts: Int,
     new TickReaderFactory(required, pushed.collect {
       case EqualTo("sym", v: String) => v
     }, agg)
+
+  /** Streaming face of the same table: the id sequence is the offset
+    * log (offset = next unread tick_id), so the source replays
+    * EXACTLY like a kafka-partition cursor. Admission control caps
+    * each micro-batch at `batchRows` ids — real incremental batches,
+    * not one catch-all — and AvailableNow drains up to the
+    * prepare-time ceiling and stops. Filter/column pushdown state
+    * carries over from the scan builder unchanged. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TickMicroBatchStream(rows, parts, batchRows, required, pushed.collect {
+      case EqualTo("sym", v: String) => v
+    })
+}
+
+private[sources] case class TickOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+private[sources] class TickMicroBatchStream(rows: Long, parts: Int,
+    batchRows: Long, required: StructType, symEq: Array[String])
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // AvailableNow pins the drain target at prepare time; a live source
+  // would keep growing past it and the next run picks up from the
+  // checkpointed offset.
+  @volatile private var ceiling: Long = rows
+
+  override def prepareForTriggerAvailableNow(): Unit = ceiling = rows
+  override def initialOffset(): Offset = TickOffset(0L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TickOffset].next
+    TickOffset(math.min(s + batchRows, ceiling))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(batchRows)
+  override def reportLatestOffset(): Offset = TickOffset(ceiling)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TickOffset].next
+    val e = end.asInstanceOf[TickOffset].next
+    if (s >= e) return Array.empty
+    val step = math.max(1L, (e - s + parts - 1) / parts)
+    (s until e by step).map(p =>
+      TickRange(p, math.min(p + step, e))).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TickReaderFactory(required, symEq, None)
+  override def deserializeOffset(json: String): Offset =
+    TickOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class TickReaderFactory(required: StructType,

@@ -110,6 +110,45 @@ class TickSourceSpec extends SparkTestBase {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streaming read: multi-batch incremental drain equals batch scan") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft.sources.TickSource")
+      .option("rows", "50000").option("parts", "4")
+      .option("batchRows", "12000").load()
+      .groupBy("sym").agg(sum("price_cents").as("s"), count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_tick_stream").start()
+    try {
+      q.awaitTermination()
+      // 50000 ids at <=12000/batch → at least 5 micro-batches committed.
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 5, s"expected >=5 micro-batches, saw $batches")
+    } finally q.stop()
+    val streamed = spark.table("graft_tick_stream")
+      .collect().map(_.mkString("|")).toSet
+    val batch = spark.read.format("graft.sources.TickSource")
+      .option("rows", "50000").option("parts", "4").load()
+      .groupBy("sym").agg(sum("price_cents").as("s"), count(lit(1)).as("n"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed === batch && streamed.size === 8)
+  }
+
+  test("sql_scripting: variable threshold equals inline recompute") {
+    val out = graft.queries.Advanced.sqlScripting(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    val ap = orders.agg(
+      round(avg(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
+        .cast("double")).head().getDouble(0)
+    val exp = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > ap, 1L).otherwise(0L)).as("n_above"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === exp && out.nonEmpty)
+  }
+
   test("etl_observe: observed metrics equal a plain aggregate") {
     val m = graft.queries.Advanced.etlObserve(spark, sf).head()
     val a = graft.core.Tables.load(spark, sf, "lineitem").agg(
