@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.core.Tables
 
@@ -63,10 +63,62 @@ object StatefulOps {
       .select(col("user_id"), col("event_id"), col("value")).as[Ev]
   }
 
+  case class NewHigh(user_id: Long, event_id: Long, value: Double,
+      prev_max: Double)
+
+  /** The Spark 4 `transformWithState` surface (arbitrary-state v2 —
+    * typed state handles, TTL, timers — the successor to
+    * `flatMapGroupsWithState` above): per-user running-maximum
+    * tracking that emits an event only when it sets a NEW high,
+    * with the previous high attached.
+    *
+    * State is ONE double per key in a `ValueState` handle — at scale
+    * that's a billion 8-byte entries in the (RocksDB-backed) state
+    * store, not a buffer of history. Rows are sorted by `event_id`
+    * inside each `handleInputRows` call because batches deliver a
+    * key's rows unordered; per-key-per-batch cardinality is bounded
+    * by user activity, not corpus size. Values are compared, never
+    * arithmetically combined, so the emitted doubles are input bits
+    * and oracle parity is exact. */
+  class NewHighsProcessor extends StatefulProcessor[Long, Ev, NewHigh] {
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double](
+        "running_max", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[NewHigh] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[NewHigh]
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        if (maxState.exists()) {
+          val m = maxState.get()
+          if (e.value > m) {
+            out += NewHigh(key, e.event_id, e.value, m)
+            maxState.update(e.value)
+          }
+        } else maxState.update(e.value)
+      }
+      out.iterator
+    }
+  }
+
+  /** Batch + streaming unified, like `anomalies`. */
+  def newHighs(events: Dataset[Ev]): Dataset[NewHigh] = {
+    // Batch-mode transformWithState loads state stores whose executors
+    // resolve the StateStoreCoordinator RPC endpoint — which only the
+    // StreamingQueryManager registers. Touch it so a pure-batch session
+    // (Verify/Bench) has the endpoint before the first state load.
+    events.sparkSession.streams.active
+    implicit val outEnc: Encoder[NewHigh] = Encoders.product[NewHigh]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new NewHighsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Graded batch query. The oracle reproduces the running mean with an
     * exact DECIMAL(18,2) prefix sum cast to double and divided by the
     * prefix count — bit-identical to the integer-cent state above. */
   def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "stream_tws_new_highs" -> ((s, d) => newHighs(eventsTyped(s, d)).toDF()),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
       // doubles (integer-cent sum, one division), and an engine-side
@@ -81,6 +133,13 @@ object StatefulOps {
     }))
 
   def oracle: Map[String, String] = Map(
+    "stream_tws_new_highs" ->
+      """WITH w AS (SELECT user_id, event_id, value,
+        |  MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_before
+        |  FROM events)
+        |SELECT user_id, event_id, value, max_before AS prev_max
+        |FROM w WHERE max_before IS NOT NULL AND value > max_before""".stripMargin,
     "stream_stateful_anomaly" ->
       s"""WITH w AS (SELECT user_id, event_id, value,
          |  COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id

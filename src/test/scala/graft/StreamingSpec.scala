@@ -55,6 +55,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState on RocksDB state store: streaming equals batch") {
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    // transformWithState's streaming path requires the RocksDB provider
+    // — which is also the right store at scale (disk-backed state,
+    // changelog checkpointing); scope the conf and restore after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val streamEv = StreamingOps.eventsStream(spark, sf)
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("value"))
+        .as[StatefulOps.Ev]
+      val q = StatefulOps.newHighs(streamEv).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_tws").start()
+      try {
+        q.processAllAvailable()
+        val streamed = canon(spark.table("graft_tws"))
+        val batch = canon(StatefulOps.newHighs(
+          StatefulOps.eventsTyped(spark, sf)).toDF())
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join: signups joined to later errors per user") {
     import org.apache.spark.sql.functions._
     def side(tpe: String, prefix: String) =
