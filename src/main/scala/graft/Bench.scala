@@ -45,7 +45,9 @@ object Bench {
     "llm_kmeans_train", "llm_pipeline_e2e", "llm_stratified_split",
     "text_langid", "text_quality", "text_tokens", "text_pii_mask",
     "mm_features", "mm_resize", "mm_frame_sample",
-    "join_bloom", "llm_ann_pq", "llm_segment_dedup", "mm_binary_ingest")
+    "join_bloom", "llm_ann_pq", "llm_segment_dedup", "mm_binary_ingest",
+    "scan_dsv2_agg", "sql_recursive_walk", "stream_tws_new_highs",
+    "join_asof_nearest", "stream_dsv2", "llm_minhash_recall")
 
   /** Keep the final stdout line comfortably inside the collector's
     * 2000-char tail (sbt appends its own "[success] …" trailer). */

@@ -1,0 +1,40 @@
+package graft
+
+/** Results must not depend on parallelism: the same query under a
+  * different shuffle-partition count (different task boundaries,
+  * different merge orders, different AQE coalescing) must produce
+  * byte-identical canonical results. This is the executable form of
+  * the engine's 100 TB determinism claim — a cluster resize or a
+  * skew-triggered AQE re-plan must never change an answer.
+  *
+  * The sample spans the operator families where partition-order bugs
+  * live: floating aggregation (decimal-pinned sums), windows over
+  * explicit total orders, joins, stateful sessionization, hash-keyed
+  * sampling, and the recursive CTE. Memoized queries (minhash family)
+  * are excluded — their cache would make the second run vacuous.
+  */
+class PartitionInvarianceSpec extends SparkTestBase {
+
+  private val sample = Seq(
+    "q1_agg", "join_inner_star", "join_asof_nearest", "win_rank",
+    "win_rolling_zscore", "agg_median", "events_sessionize",
+    "llm_exact_dedup", "llm_weighted_sample", "llm_train_shards",
+    "sql_recursive_walk")
+
+  private def canon(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("canonical results are invariant under shuffle-partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val baseline = sample.map(n => n -> canon(n)).toMap
+    try {
+      spark.conf.set(key, "3")
+      sample.foreach { n =>
+        assert(canon(n) == baseline(n),
+          s"$n changed results when shuffle partitions went ${prev} -> 3")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+}
