@@ -976,7 +976,29 @@ object LlmText {
         round(col("n_hit") / col("n_truth"), 4).as("recall"))
   }
 
+  /** Distributed inverted-index build — the retrieval-side artifact a
+    * curation stack derives from the corpus (BM25/decontamination both
+    * consume this shape). Two map-side-combinable aggregations: one on
+    * (term, doc) for tf, one on term for the posting list — at 100 TB
+    * both shuffles carry (hashable-term, int64) pairs. Posting arrays
+    * are sorted so the output is canonical under any partitioning.
+    * Production-scale note: a stopword's posting list concentrates a
+    * corpus-sized array on one reducer — a real 100 TB index splits
+    * hot terms into chunked lists (term, chunk_no, ids) or drops them
+    * by a df ceiling; the fixture vocabulary is tiny and bounded, so
+    * the full lists here stay small and the hash covers every id. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").cast("long").as("total_tf"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_inverted_index" -> (invertedIndex _),
     "llm_minhash_recall" -> (minhashRecall _),
     "text_containment" -> (textContainment _),
     "llm_exact_dedup" -> (exactDedup _),
@@ -1419,6 +1441,14 @@ object LlmText {
          |            ON a.source = b.source AND a.sh = b.sh
          |           AND a.doc_id < b.doc_id),
          |$jaccardTail""".stripMargin,
+    "llm_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf
+        |       FROM tok GROUP BY term, doc_id)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |       list_sort(list(doc_id)) AS postings
+        |FROM tf GROUP BY term""".stripMargin,
     "llm_minhash_recall" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
