@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+
+/** Zero-row robustness: every sampled query must run on an EMPTY
+  * corpus and return a schema-correct empty result — no
+  * head-of-empty crashes, no null-seeded aggregates, no divide-
+  * by-count errors. At scale this is the "partition pruned
+  * everything away" / "first run of an incremental pipeline" path,
+  * which production hits constantly and fixtures never do. */
+class EmptyInputSpec extends SparkTestBase {
+
+  /** sf0.001 schemas with zero rows, written RAW (no ts conversion) so
+    * Tables.load applies its normal nanos handling on read-back. */
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty_sf").toString
+    graft.core.Tables.names.foreach { n =>
+      spark.read.parquet(s"$sf/$n.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  private val sample = Seq(
+    "q1_agg", "join_inner_star", "win_rank", "win_rolling_zscore",
+    "events_sessionize", "llm_exact_dedup", "llm_minhash_sigs",
+    "llm_inverted_index", "setop_union_all", "join_asof_nearest")
+
+  test("sampled queries return schema-correct empty results on empty tables") {
+    sample.foreach { name =>
+      val out = SparkEntry.queries(name)(spark, emptyDir)
+      val expected = SparkEntry.queries(name)(spark, sf).schema.map(_.name)
+      assert(out.schema.map(_.name) == expected,
+        s"$name: schema drifted on empty input")
+      assert(out.count() == 0L, s"$name: expected 0 rows on empty input")
+    }
+  }
+}
