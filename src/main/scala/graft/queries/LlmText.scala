@@ -997,7 +997,27 @@ object LlmText {
         sort_array(collect_list(col("doc_id"))).as("postings"))
   }
 
+  /** Per-source dataset card — the summary table a curation run
+    * publishes next to its output (docs, token/char volume, language
+    * spread, exact-dup rate): one grouped pass, every stat mergeable.
+    * `dup_ratio` is emitted RAW (integer counts → one IEEE divide,
+    * bit-identical in both engines); an engine-side round would
+    * re-introduce the decimal-midpoint divergence this repo's
+    * determinism rules exist to avoid. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val normMd5 =
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).cast("long").as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (lit(1.0) - countDistinct(normMd5).cast("double")
+          / count(lit(1)).cast("double")).as("dup_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dataset_card" -> (datasetCard _),
     "llm_inverted_index" -> (invertedIndex _),
     "llm_minhash_recall" -> (minhashRecall _),
     "text_containment" -> (textContainment _),
@@ -1441,6 +1461,14 @@ object LlmText {
          |            ON a.source = b.source AND a.sh = b.sh
          |           AND a.doc_id < b.doc_id),
          |$jaccardTail""".stripMargin,
+    "llm_dataset_card" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  1.0 - COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |        * 1.0 / COUNT(*) AS dup_ratio
+        |FROM documents GROUP BY source""".stripMargin,
     "llm_inverted_index" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),
