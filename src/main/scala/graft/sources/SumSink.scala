@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,6 +43,10 @@ class SumSink extends TableProvider {
 object SumSink {
   /** key → (n_rows, sum(col)); written ONLY by BatchWrite.commit. */
   val results = new ConcurrentHashMap[String, (Long, Long)]()
+  /** key → committed epoch ids; the streaming commit's idempotence
+    * ledger — a re-delivered epoch (task retry after a driver
+    * failover) must not double-add. */
+  val epochs = new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
 }
 
 private[sources] class SumSinkTable(schema0: StructType)
@@ -49,8 +54,8 @@ private[sources] class SumSinkTable(schema0: StructType)
   override def name(): String = "graft-sum-sink"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new SumWrite(info)
@@ -60,7 +65,8 @@ private[sources] class SumSinkTable(schema0: StructType)
 private[sources] case class SumPartial(n: Long, sum: Long)
     extends WriterCommitMessage
 
-private[sources] class SumWrite(info: LogicalWriteInfo) extends Write with BatchWrite {
+private[sources] class SumWrite(info: LogicalWriteInfo)
+    extends Write with BatchWrite with StreamingWrite {
   private val key = info.options.getOrDefault("key", "default")
   private val colName = info.options.getOrDefault("sumCol",
     info.schema().fields.head.name)
@@ -71,6 +77,10 @@ private[sources] class SumWrite(info: LogicalWriteInfo) extends Write with Batch
   // Simulated mid-write failure for the abort-atomicity spec.
   private val failAt = Option(info.options.get("failAtRow")).map(_.toLong)
 
+  // Both BatchWrite and StreamingWrite declare this default; Scala
+  // requires an explicit pick when mixing the two traits.
+  override def useCommitCoordinator(): Boolean = true
+
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
     new SumWriterFactory(colIdx, failAt)
@@ -80,11 +90,40 @@ private[sources] class SumWrite(info: LogicalWriteInfo) extends Write with Batch
       (partials.map(_.n).sum, partials.map(_.sum).sum))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  // ---- streaming face: per-epoch driver commits, idempotent on epoch
+  override def toStreaming: StreamingWrite = this
+  override def createStreamingWriterFactory(
+      p: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SumStreamingWriterFactory(colIdx, failAt)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val seen = SumSink.epochs.computeIfAbsent(key,
+      _ => ConcurrentHashMap.newKeySet[java.lang.Long]())
+    // Exactly-once under epoch re-delivery: first commit of an epoch
+    // wins, replays are no-ops — the sink-side half of the contract
+    // whose source-side half is the checkpointed offset log.
+    if (seen.add(epochId)) {
+      val partials = messages.collect { case m: SumPartial => m }
+      SumSink.results.merge(key,
+        (partials.map(_.n).sum, partials.map(_.sum).sum),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] class SumWriterFactory(colIdx: Int, failAt: Option[Long])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SumWriter(colIdx, failAt)
+}
+
+private[sources] class SumStreamingWriterFactory(colIdx: Int,
+    failAt: Option[Long]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
     new SumWriter(colIdx, failAt)
 }
 

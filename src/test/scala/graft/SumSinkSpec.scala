@@ -24,6 +24,31 @@ class SumSinkSpec extends SparkTestBase {
       ((expected.getLong(0), expected.getLong(1))))
   }
 
+  test("streaming write: checkpointed restart re-publishes nothing (exactly-once)") {
+    import org.apache.spark.sql.streaming.Trigger
+    SumSink.results.remove("stream")
+    SumSink.epochs.remove("stream")
+    val ck = java.nio.file.Files.createTempDirectory("graft_sumsink_ck").toString
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingOps.eventsStream(spark, sf)
+        .select(col("event_id"))
+        .writeStream.format("graft.sources.SumSink")
+        .option("key", "stream").option("sumCol", "event_id")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val expected = events.agg(count(lit(1)), sum("event_id")).head()
+    val first = SumSink.results.get("stream")
+    assert(first === ((expected.getLong(0), expected.getLong(1))))
+    // Same checkpoint, unchanged input: the offset log yields no new
+    // epochs with data, so the published totals must not change.
+    runOnce()
+    assert(SumSink.results.get("stream") === first,
+      "restart over an unchanged source must not re-publish")
+  }
+
   test("mid-write task failure aborts the job and publishes nothing") {
     SumSink.results.remove("boom")
     val err = intercept[Exception] {
