@@ -242,10 +242,18 @@ private[sources] class TickScan(rows: Long, parts: Int,
     * not one catch-all — and AvailableNow drains up to the
     * prepare-time ceiling and stops. Filter/column pushdown state
     * carries over from the scan builder unchanged. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // The scan builder is shared between batch and streaming, so any
+    // filter it CONSUMED must be applied here too: sym equality goes
+    // to the reader, tick_id bounds intersect the offset ranges in
+    // planInputPartitions. Aggregate pushdown has no streaming path —
+    // fail loud rather than emit raw rows under an aggregated schema.
+    require(agg.isEmpty,
+      "aggregate pushdown is batch-only; streaming scan cannot honor it")
     new TickMicroBatchStream(rows, parts, batchRows, required, pushed.collect {
       case EqualTo("sym", v: String) => v
-    })
+    }, bounds)
+  }
 }
 
 private[sources] case class TickOffset(next: Long) extends Offset {
@@ -253,7 +261,8 @@ private[sources] case class TickOffset(next: Long) extends Offset {
 }
 
 private[sources] class TickMicroBatchStream(rows: Long, parts: Int,
-    batchRows: Long, required: StructType, symEq: Array[String])
+    batchRows: Long, required: StructType, symEq: Array[String],
+    idBounds: (Long, Long))
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -276,8 +285,11 @@ private[sources] class TickMicroBatchStream(rows: Long, parts: Int,
   override def reportLatestOffset(): Offset = TickOffset(ceiling)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[TickOffset].next
-    val e = end.asInstanceOf[TickOffset].next
+    // Offsets advance over the FULL id sequence (so progress/backlog
+    // accounting stays honest); consumed tick_id bounds shrink the
+    // materialized ranges here, exactly like batch partition pruning.
+    val s = math.max(start.asInstanceOf[TickOffset].next, idBounds._1)
+    val e = math.min(end.asInstanceOf[TickOffset].next, idBounds._2)
     if (s >= e) return Array.empty
     val step = math.max(1L, (e - s + parts - 1) / parts)
     (s until e by step).map(p =>

@@ -134,6 +134,26 @@ class TickSourceSpec extends SparkTestBase {
     assert(streamed === batch && streamed.size === 8)
   }
 
+  test("streaming read honors pushed filters (consumed-filter contract)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // If the shared scan builder consumed these, the streaming planner
+    // MUST apply them too — a consumed-but-unapplied filter silently
+    // corrupts results.
+    val q = spark.readStream.format("graft.sources.TickSource")
+      .option("rows", "40000").option("parts", "4")
+      .option("batchRows", "15000").load()
+      .filter(col("tick_id") >= 10000L && col("tick_id") < 30000L
+        && col("sym") === "ALPHA")
+      .groupBy("sym").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_tick_stream_f").start()
+    try q.awaitTermination() finally q.stop()
+    val r = spark.table("graft_tick_stream_f").head()
+    // ALPHA = ids ≡ 0 (mod 8); ids in [10000, 30000) → 2500 rows.
+    assert(r.getString(0) === "ALPHA" && r.getLong(1) === 2500L)
+  }
+
   test("sql_scripting: variable threshold equals inline recompute") {
     val out = graft.queries.Advanced.sqlScripting(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
