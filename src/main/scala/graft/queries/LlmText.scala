@@ -959,13 +959,22 @@ object LlmText {
     * verify threshold ever drifts. */
   def minhashRecall(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(s, dir)
-    val truthCands = sh.as("a")
+    // Exhaustive blocking means EVERY shared distinct shingle of a
+    // pair appears as exactly one join row — so the intersection size
+    // falls straight out of the blocking join (one aggregation), with
+    // no candidate-distinct + shingle re-join round trip. Half the
+    // work of the generic withJaccard path, same numbers.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val truth = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val truth = withJaccard(sh, truthCands)
-      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .filter(col("n_inter") /
+        (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) >= 0.5)
+      .select("doc_a", "doc_b")
       .localCheckpoint(eager = true)
     val lsh = minhashNearDup(s, dir).select("doc_a", "doc_b")
     val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
