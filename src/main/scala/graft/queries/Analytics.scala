@@ -185,6 +185,32 @@ object Analytics {
           .as("is_current"))
   }
 
+  /** Point-in-time join against the SCD2 dimension: each fact is
+    * matched to the dimension VERSION whose validity range contains
+    * the fact's query date ("price as of a week after ship") — the
+    * warehouse pattern SCD2 exists to serve, distinct from as-of
+    * (range containment on disjoint versions, not nearest-neighbor).
+    * Plan shape: equi-join on the surrogate natural key + range
+    * predicate — join multiplicity before the filter is bounded by
+    * versions-per-key (days with activity), so there is no blowup at
+    * any scale; the aggregate then pins that every fact matched
+    * exactly its one covering version. */
+  def joinScd2Pit(s: SparkSession, dir: String): DataFrame = {
+    val dim = etlScd2(s, dir)
+      .select(col("l_partkey").as("d_partkey"), col("valid_from"),
+        col("valid_to"), col("price"))
+    val facts = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"),
+        date_add(col("l_shipdate").cast("date"), 7).as("qd"))
+    facts.join(dim,
+        col("l_partkey") === col("d_partkey")
+          && col("qd") >= col("valid_from") && col("qd") <= col("valid_to"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_version_price"))
+  }
+
   /** Rule-based data-quality checks: each rule is a FILTERed count over
     * its table; violations==0 rows are kept so the report shape is the
     * rule catalog, not the violation set. One pass per table (the
@@ -302,6 +328,7 @@ object Analytics {
     "text_collocations" -> (textCollocations _),
     "agg_zscore" -> (aggZscore _),
     "etl_scd2" -> (etlScd2 _),
+    "join_scd2_pit" -> (joinScd2Pit _),
     "etl_dq_rules" -> (etlDqRules _))
 
   val oracle: Map[String, String] = Map(
@@ -387,6 +414,23 @@ object Analytics {
         |       price,
         |       CAST(CASE WHEN LEAD(d) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM daily WINDOW w AS (PARTITION BY l_partkey ORDER BY d)""".stripMargin,
+    "join_scd2_pit" ->
+      """WITH daily AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+        |                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |               FROM lineitem GROUP BY 1, 2),
+        |dim AS (SELECT l_partkey AS d_partkey, d AS valid_from,
+        |               CAST(COALESCE(LEAD(d) OVER w - INTERVAL 1 DAY,
+        |                             DATE '9999-12-31') AS DATE) AS valid_to,
+        |               price
+        |        FROM daily WINDOW w AS (PARTITION BY l_partkey ORDER BY d)),
+        |f AS (SELECT l_partkey, l_returnflag,
+        |             CAST(l_shipdate AS DATE) + 7 AS qd FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_version_price
+        |FROM f JOIN dim ON f.l_partkey = dim.d_partkey
+        |  AND f.qd >= dim.valid_from AND f.qd <= dim.valid_to
+        |GROUP BY l_returnflag""".stripMargin,
     "etl_dq_rules" ->
       """SELECT 'lineitem_nonpos_qty' AS rule_id, CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) AS violations FROM lineitem
         |UNION ALL SELECT 'lineitem_discount_range', CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
