@@ -101,6 +101,44 @@ object StatefulOps {
     }
   }
 
+  case class Balance(user_id: Long, balance_cents: Long, n_floor_hits: Long)
+
+  /** Floor-clamped running balance — the "inventory can't go
+    * negative" fold: each event's value (in exact integer cents)
+    * deposits against a fixed 100.00 withdrawal, and the balance
+    * clamps at zero. The clamp makes every step depend on the
+    * clamped PREVIOUS step, so no window frame can express it —
+    * this is the computation class `transformWithState` (and its
+    * recursive-CTE oracle twin) exists for. Integer-cent state keeps
+    * both engines bit-exact; state is (2 longs) per key. */
+  class CappedBalanceProcessor extends StatefulProcessor[Long, Ev, Balance] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("bal",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Balance] = {
+      var (bal, hits) =
+        if (st.exists()) st.get() else (0L, 0L)
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        val next = bal + math.round(e.value * 100) - 10000L
+        if (next < 0) { bal = 0L; hits += 1 } else bal = next
+      }
+      st.update((bal, hits))
+      Iterator.single(Balance(key, bal, hits))
+    }
+  }
+
+  /** Batch mode emits one final row per key; a streaming run emits a
+    * row per (key, batch) — the graded query runs batch. */
+  def cappedBalance(events: Dataset[Ev]): Dataset[Balance] = {
+    events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
+    implicit val outEnc: Encoder[Balance] = Encoders.product[Balance]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new CappedBalanceProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch + streaming unified, like `anomalies`. */
   def newHighs(events: Dataset[Ev]): Dataset[NewHigh] = {
     // Batch-mode transformWithState loads state stores whose executors
@@ -119,6 +157,8 @@ object StatefulOps {
     * prefix count — bit-identical to the integer-cent state above. */
   def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "stream_tws_new_highs" -> ((s, d) => newHighs(eventsTyped(s, d)).toDF()),
+    "stream_tws_capped_sum" -> ((s, d) =>
+      cappedBalance(eventsTyped(s, d)).toDF()),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
       // doubles (integer-cent sum, one division), and an engine-side
@@ -133,6 +173,25 @@ object StatefulOps {
     }))
 
   def oracle: Map[String, String] = Map(
+    "stream_tws_capped_sum" ->
+      """WITH RECURSIVE
+        |e AS (SELECT user_id, event_id,
+        |        CAST(ROUND(value * 100) AS BIGINT) - 10000 AS delta,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id) AS rn
+        |      FROM events),
+        |r(user_id, rn, bal, hits) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM e)
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    GREATEST(r.bal + e.delta, 0),
+        |    r.hits + CASE WHEN r.bal + e.delta < 0 THEN 1 ELSE 0 END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, bal AS balance_cents, hits AS n_floor_hits
+        |FROM (SELECT user_id, rn, bal, hits,
+        |        MAX(rn) OVER (PARTITION BY user_id) AS mx FROM r)
+        |WHERE rn = mx""".stripMargin,
     "stream_tws_new_highs" ->
       """WITH w AS (SELECT user_id, event_id, value,
         |  MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
