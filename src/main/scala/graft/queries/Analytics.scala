@@ -185,6 +185,64 @@ object Analytics {
           .as("is_current"))
   }
 
+  /** TPC-H Q3 (shipping priority, adapted to the fixture schema —
+    * no o_shippriority column): top-10 unshipped-revenue orders for
+    * one market segment. Plan: the filtered customer dim broadcasts
+    * into orders, lineitem's ship-date filter is pushed to the scan,
+    * and the revenue sum is decimal-pinned then rounded once — the
+    * deterministic tiebreak (revenue DESC, orderkey ASC) makes the
+    * LIMIT 10 selection identical in both engines. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 4))
+        * (lit(1) - col("l_discount")).cast(DecimalType(8, 4))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+  }
+
+  /** TPC-H Q5 (local supplier volume): revenue where the customer and
+    * supplier share a nation, restricted to one region and year. All
+    * four dimension sides broadcast; the only shuffle is the final
+    * per-nation aggregate. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val n = t(s, dir, "nation").join(
+      t(s, dir, "region").filter(col("r_name") === "ASIA"),
+      col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))
+          * (lit(1) - col("l_discount")).cast(DecimalType(8, 4))), 2)
+          .cast("double").as("revenue"))
+  }
+
   /** Point-in-time join against the SCD2 dimension: each fact is
     * matched to the dimension VERSION whose validity range contains
     * the fact's query date ("price as of a week after ship") — the
@@ -329,6 +387,8 @@ object Analytics {
     "agg_zscore" -> (aggZscore _),
     "etl_scd2" -> (etlScd2 _),
     "join_scd2_pit" -> (joinScd2Pit _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "etl_dq_rules" -> (etlDqRules _))
 
   val oracle: Map[String, String] = Map(
@@ -414,6 +474,32 @@ object Analytics {
         |       price,
         |       CAST(CASE WHEN LEAD(d) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM daily WINDOW w AS (PARTITION BY l_partkey ORDER BY d)""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
     "join_scd2_pit" ->
       """WITH daily AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
         |                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
