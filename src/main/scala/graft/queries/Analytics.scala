@@ -243,6 +243,33 @@ object Analytics {
           .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q10 (returned-item reporting): the top-20 customers by
+    * revenue lost to returns in one quarter. Same broadcast-dim star
+    * discipline as Q3/Q5; the returnflag + quarter filters reach the
+    * scans, and the LIMIT tiebreak (revenue DESC, custkey ASC) is
+    * explicit so both engines select the same rows. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 4))
+        * (lit(1) - col("l_discount")).cast(DecimalType(8, 4))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Point-in-time join against the SCD2 dimension: each fact is
     * matched to the dimension VERSION whose validity range contains
     * the fact's query date ("price as of a week after ship") — the
@@ -389,6 +416,7 @@ object Analytics {
     "join_scd2_pit" -> (joinScd2Pit _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q10_returns" -> (q10Returns _),
     "etl_dq_rules" -> (etlDqRules _))
 
   val oracle: Map[String, String] = Map(
@@ -474,6 +502,18 @@ object Analytics {
         |       price,
         |       CAST(CASE WHEN LEAD(d) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM daily WINDOW w AS (PARTITION BY l_partkey ORDER BY d)""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
