@@ -194,11 +194,42 @@ object StreamingOps {
     s.table("graft_avail_now")
   }
 
+  /** Watermark-lateness profile under WORST-CASE arrival — the tuning
+    * query behind every `withWatermark` decision. The fixture stream
+    * arrives perfectly ordered (every event's lateness is zero — see
+    * [[lateDrop]]'s empty result), so this profiles the adversarial
+    * bound instead: arrival order = deterministic hash permutation of
+    * the stream, lateness = gap to the running high-water mark in that
+    * order, bucketed by decimal decade of seconds. The histogram is
+    * the capacity answer: what fraction of a fully-shuffled replay
+    * would an N-second watermark drop, and how much state must it
+    * hold. Integer microsecond math; the hash order is md5-derived so
+    * both engines walk the identical permutation. */
+  def latenessProfile(e: DataFrame): DataFrame = {
+    val w = Window.orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("arrival", md5(col("event_id").cast("string")))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_bucket",
+        expr("""CASE WHEN (hwm - us) div 1000000 < 1 THEN 0
+               |     WHEN (hwm - us) div 1000000 < 10 THEN 1
+               |     WHEN (hwm - us) div 1000000 < 100 THEN 2
+               |     WHEN (hwm - us) div 1000000 < 1000 THEN 3
+               |     WHEN (hwm - us) div 1000000 < 10000 THEN 4
+               |     ELSE 5 END""".stripMargin))
+      .groupBy("late_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_available_now" -> (availableNowRun _),
+    "stream_lateness_profile" -> ((s, d) => latenessProfile(ev(s, d))),
     "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
     "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
     "stream_hll_window" -> ((s, d) => hllWindow(ev(s, d))),
@@ -214,6 +245,23 @@ object StreamingOps {
   // DuckDB twins over CAST(ts AS TIMESTAMP) (micros, matching Spark's
   // nanos→micros read).
   val oracle: Map[String, String] = Map(
+    "stream_lateness_profile" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             md5(CAST(event_id AS VARCHAR)) AS arrival
+        |           FROM events),
+        |h AS (SELECT user_id, us,
+        |        MAX(us) OVER (ORDER BY arrival, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS hwm
+        |      FROM e)
+        |SELECT CASE WHEN (hwm - us) // 1000000 < 1 THEN 0
+        |            WHEN (hwm - us) // 1000000 < 10 THEN 1
+        |            WHEN (hwm - us) // 1000000 < 100 THEN 2
+        |            WHEN (hwm - us) // 1000000 < 1000 THEN 3
+        |            WHEN (hwm - us) // 1000000 < 10000 THEN 4
+        |            ELSE 5 END AS late_bucket,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM h GROUP BY 1""".stripMargin,
     "stream_available_now" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
