@@ -235,6 +235,38 @@ object Analytics2 {
       .select("user_id", "n_events", "entropy")
   }
 
+  /** Gini coefficient of order value per market segment — the
+    * concentration metric behind "do a few whales drive this
+    * segment's revenue". Computed from the rank formula
+    * G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx): ranks are integers under
+    * an explicit total order (value, then orderkey), and both
+    * Σ(rank·x) and Σx accumulate in exact decimal — so the only
+    * floating-point op is the final division, identical in both
+    * engines. The ratio is emitted RAW (the comparator canonicalizes);
+    * an engine-side round would re-introduce midpoint sensitivity for
+    * zero benefit. One window pass per segment + one aggregate. */
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+      .withColumn("rk", row_number().over(w))
+      .drop("o_totalprice")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("rk")).as("srx"))
+      .select(col("c_mktsegment"), col("n"),
+        ((lit(2) * col("srx").cast("double")
+          - (col("n") + 1).cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+  }
+
   /** Ratio-to-report: each order's share of its customer's total — the
     * window-aggregate (no ORDER BY) reporting idiom. The denominator is
     * a decimal-pinned sum cast to double, so the division is the same
@@ -394,6 +426,7 @@ object Analytics2 {
     "agg_skew_kurt" -> (aggSkewKurt _),
     "events_rfm" -> (eventsRfm _),
     "agg_entropy" -> (aggEntropy _),
+    "agg_gini" -> (aggGini _),
     "win_topk_heap" -> (winTopkHeap _),
     "agg_regression" -> (aggRegression _),
     "events_transitions" -> (eventsTransitions _),
@@ -490,6 +523,17 @@ object Analytics2 {
         |       ROUND(-SUM((c.n / t.tn) * LN(c.n / t.tn)), 4) AS entropy
         |FROM cnt c JOIN tot t ON c.user_id = t.user_id
         |GROUP BY c.user_id, t.tn""".stripMargin,
+    "agg_gini" ->
+      """WITH x AS (SELECT c_mktsegment, o_orderkey,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY o_totalprice, o_orderkey) AS rk
+        |           FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  (2 * CAST(SUM(x * rk) AS DOUBLE)
+        |   - (COUNT(*) + 1) * CAST(SUM(x) AS DOUBLE))
+        |  / (COUNT(*) * CAST(SUM(x) AS DOUBLE)) AS gini
+        |FROM x GROUP BY c_mktsegment""".stripMargin,
     "win_topk_heap" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
