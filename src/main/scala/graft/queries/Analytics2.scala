@@ -267,6 +267,37 @@ object Analytics2 {
           .as("gini"))
   }
 
+  /** Cohort lifetime-value curves: users grouped by first-seen WEEK
+    * (the fixture stream spans one month), cumulative value tracked by
+    * integer week age — the growth report behind every retention
+    * investment decision. Week index is pure integer arithmetic
+    * (epoch-days div 7), per-age revenue accumulates in exact decimal,
+    * and the cumulative sum runs the decimal window before ONE double
+    * conversion — so the curve is bit-identical in both engines.
+    * Cohort table is tiny (weeks × ages); the only fact-scale work is
+    * one grouped aggregate. */
+  def eventsCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("value"),
+        (datediff(col("ts").cast("date"), epoch) / 7).cast("long").as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("c0"))
+    val perAge = e.join(cohort, "user_id")
+      .withColumn("age_weeks", (col("wk") - col("c0")).cast("long"))
+      .groupBy(col("c0"), col("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.partitionBy("c0").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perAge
+      .withColumn("cum_value",
+        round(sum(col("rev")).over(w), 2).cast("double"))
+      .select(
+        date_format(date_add(epoch, (col("c0") * 7).cast("int")),
+          "yyyy-MM-dd").as("cohort_week"),
+        col("age_weeks"), col("n_users"), col("cum_value"))
+  }
+
   /** Ratio-to-report: each order's share of its customer's total — the
     * window-aggregate (no ORDER BY) reporting idiom. The denominator is
     * a decimal-pinned sum cast to double, so the division is the same
@@ -427,6 +458,7 @@ object Analytics2 {
     "events_rfm" -> (eventsRfm _),
     "agg_entropy" -> (aggEntropy _),
     "agg_gini" -> (aggGini _),
+    "events_cohort_ltv" -> (eventsCohortLtv _),
     "win_topk_heap" -> (winTopkHeap _),
     "agg_regression" -> (aggRegression _),
     "events_transitions" -> (eventsTransitions _),
@@ -523,6 +555,22 @@ object Analytics2 {
         |       ROUND(-SUM((c.n / t.tn) * LN(c.n / t.tn)), 4) AS entropy
         |FROM cnt c JOIN tot t ON c.user_id = t.user_id
         |GROUP BY c.user_id, t.tn""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, value,
+        |             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS c0 FROM e GROUP BY user_id),
+        |pa AS (SELECT c.c0, CAST(e.wk - c.c0 AS BIGINT) AS age_weeks,
+        |         COUNT(DISTINCT e.user_id) AS n_users,
+        |         SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        |       FROM e JOIN c ON e.user_id = c.user_id
+        |       GROUP BY c.c0, 2)
+        |SELECT strftime(DATE '1970-01-01' + CAST(c0 * 7 AS INT), '%Y-%m-%d')
+        |    AS cohort_week,
+        |  age_weeks, n_users,
+        |  CAST(ROUND(SUM(rev) OVER (PARTITION BY c0 ORDER BY age_weeks
+        |    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_value
+        |FROM pa""".stripMargin,
     "agg_gini" ->
       """WITH x AS (SELECT c_mktsegment, o_orderkey,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS x,
