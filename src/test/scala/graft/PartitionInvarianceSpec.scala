@@ -19,7 +19,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "q1_agg", "join_inner_star", "join_asof_nearest", "win_rank",
     "win_rolling_zscore", "agg_median", "events_sessionize",
     "llm_exact_dedup", "llm_weighted_sample", "llm_train_shards",
-    "sql_recursive_walk")
+    "sql_recursive_walk",
+    // round-7 part-3/4 additions: rank-formula aggregate, cohort
+    // cumulative window, SCD2 range join, TPC-H top-k tiebreak,
+    // stateful fold
+    "agg_gini", "events_cohort_ltv", "join_scd2_pit", "q3_shipping",
+    "stream_tws_capped_sum")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
