@@ -41,28 +41,41 @@ object ConnectedComponents {
 
   /** @param edges two LONG columns (src, dst), undirected, self-loops
     *              ignored.
+    * @param checkpointDir when set, per-round state is truncated via
+    *        RELIABLE `df.checkpoint()` into this directory instead of
+    *        executor-local `localCheckpoint()`. localCheckpoint blocks
+    *        live only on executors: at 100 TB an executor loss
+    *        mid-iteration loses blocks with NO recompute path (lineage
+    *        was truncated) and kills the whole job. A checkpoint dir on
+    *        durable storage (HDFS/S3) survives executor churn — the
+    *        right mode on a real cluster; the default stays local for
+    *        single-JVM sandbox runs where there is no executor to lose.
     * @return (node, component) where component = min node id reachable;
     *         every node of `edges` appears exactly once. */
   def components(spark: SparkSession, edges: DataFrame,
-                 maxRounds: Int = 25): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(eager = true)
+                 maxRounds: Int = 25,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
+    val nodes = ckpt(edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct())
+    var e = ckpt(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
     // Small graphs collapse to one partition: each star round is two
     // shuffles, and on a tiny edge set the rounds are pure scheduling
     // overhead across 32 partitions. Big graphs keep the distributed
     // layout (same adaptive layout as the label-propagation loop).
-    if (e.count() < 100000) e = e.coalesce(1).localCheckpoint(eager = true)
+    if (e.count() < 100000) e = ckpt(e.coalesce(1))
     var prevSum = BigDecimal(-1)
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxRounds) {
       val prev = e
-      e = star(star(e, large = true), large = false)
-        .localCheckpoint(eager = true)
+      e = ckpt(star(star(e, large = true), large = false))
       val sum = Option(
         e.agg(org.apache.spark.sql.functions.sum(
           col("src").cast("decimal(38,0)") + col("dst").cast("decimal(38,0)")))

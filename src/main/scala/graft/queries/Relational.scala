@@ -769,7 +769,13 @@ object Relational {
     * accumulation, convert once to double, and derive
     * z = (x − Σx/n) / sqrt((n·Σx² − (Σx)²)/(n·(n−1))) with the same
     * expression tree — identical IEEE ops over identical bits. A
-    * zero-variance frame surfaces null, matching the stddev path. */
+    * zero-variance frame surfaces null, matching the stddev path.
+    *
+    * z is emitted RAW (no `round`): Spark rounds doubles via exact
+    * BigDecimal HALF_UP while DuckDB multiplies by 10⁴ in binary, so
+    * a per-engine `round(z, 4)` flips at rounding boundaries even
+    * when z itself is bit-identical (the round-6/7 red-row cause —
+    * same rule as `llm_dataset_card`'s raw `dup_ratio`). */
   def winRollingZscore(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("us"), col("event_id"))
@@ -786,7 +792,7 @@ object Relational {
       .withColumn("sxx", sum(dec * dec).over(w).cast(DoubleType))
       .select(col("event_id"), col("user_id"),
         when(col("n") >= 2 && variance > 0d,
-          round((col("value") - col("sx") / nD) / sqrt(variance), 4))
+          (col("value") - col("sx") / nD) / sqrt(variance))
           .as("z"))
   }
 
@@ -979,8 +985,8 @@ object Relational {
         |SELECT event_id, user_id,
         |  CASE WHEN n >= 2
         |        AND (n*sxx - sx*sx) / (n*(n-1.0)) > 0
-        |       THEN ROUND((value - sx/n)
-        |                  / SQRT((n*sxx - sx*sx) / (n*(n-1.0))), 4)
+        |       THEN (value - sx/n)
+        |            / SQRT((n*sxx - sx*sx) / (n*(n-1.0)))
         |  END AS z
         |FROM b""".stripMargin,
     "etl_mask_pseudonym" ->

@@ -56,6 +56,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("reliable-checkpoint mode produces identical labels and writes " +
+       "recoverable state") {
+    // The 100 TB failure mode: localCheckpoint blocks die with their
+    // executor and lineage is already truncated — job lost. With a
+    // checkpoint dir, per-round state lands on durable storage instead.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val edges = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L), (12L, 10L),
+        (20L, 21L)).toDF("src", "dst")
+      val reliable = ConnectedComponents
+        .components(spark, edges, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = ConnectedComponents.components(spark, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // reliable mode must have actually materialized RDD checkpoints
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(wrote > 0, "no rdd-* checkpoint dirs written — reliable " +
+        "mode silently fell back to local lineage truncation")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("matches the label-propagation clustering on fixture near-dups") {
     val a = graft.queries.LlmText.queries("llm_dedup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet

@@ -27,4 +27,24 @@ class PlanAuditSpec extends SparkTestBase {
         s"$name plans a CartesianProduct — pair generation must be blocked")
     }
   }
+
+  // 3. Oracle-graded outputs must be scalar-only: the grading
+  //    harness canonicalizes by a pandas row sort, which throws on
+  //    ARRAY/MAP/STRUCT cells — such a query is red on the driver
+  //    even when values agree (round-7 `llm_inverted_index`).
+  //    Serialize nested results (array_join / to_json) before grading.
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+       if SparkEntry.oracleSql.contains(name)) {
+    test(s"$name: oracle-graded schema is scalar-only") {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nested = fn(spark, sf).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(nested.isEmpty,
+        s"$name emits non-scalar graded columns " +
+          s"${nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")} — " +
+          "the driver's pandas canonicalization cannot sort these")
+    }
+  }
 }

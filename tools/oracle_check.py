@@ -18,6 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately STRICTER than the driver: the driver's pandas
+    # sort_values throws on list/array cells, so a graded query that
+    # emits one is red on the driver no matter what we do locally.
+    # Fail loudly here instead of papering over it with a stringify
+    # (the round-7 llm_inverted_index lesson).
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         dt = str(df[c].dtype)
@@ -26,9 +32,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif "datetime" in dt:
             df[c] = df[c].astype("string")
         elif dt == "object":
+            bad = df[c].apply(
+                lambda v: isinstance(v, (list, set, dict, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"column '{c}' contains list/array cells — graded "
+                    f"output must be scalar-only (driver cannot "
+                    f"canonicalize it)")
             df[c] = df[c].apply(
-                lambda v: str(sorted(v)) if isinstance(v, (list, set))
-                else str(v) if v is not None else None)
+                lambda v: str(v) if v is not None else None)
     return df.sort_values(by=list(df.columns), na_position="first") \
              .reset_index(drop=True)
 
