@@ -44,8 +44,12 @@ object SumSink {
   /** key → (n_rows, sum(col)); written ONLY by BatchWrite.commit. */
   val results = new ConcurrentHashMap[String, (Long, Long)]()
   /** key → committed epoch ids; the streaming commit's idempotence
-    * ledger — a re-delivered epoch (task retry after a driver
-    * failover) must not double-add. */
+    * ledger — a SAME-PROCESS re-delivered epoch (StreamExecution
+    * retrying a batch after a transient failure) must not double-add.
+    * The ledger is JVM-local: a real driver restart starts it empty,
+    * so cross-process exactly-once would additionally require
+    * persisting committed epoch ids under the query's checkpoint
+    * location — out of scope for this in-memory test sink. */
   val epochs = new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
 }
 
@@ -100,9 +104,10 @@ private[sources] class SumWrite(info: LogicalWriteInfo)
       messages: Array[WriterCommitMessage]): Unit = {
     val seen = SumSink.epochs.computeIfAbsent(key,
       _ => ConcurrentHashMap.newKeySet[java.lang.Long]())
-    // Exactly-once under epoch re-delivery: first commit of an epoch
-    // wins, replays are no-ops — the sink-side half of the contract
-    // whose source-side half is the checkpointed offset log.
+    // Exactly-once under SAME-PROCESS epoch re-delivery: first commit
+    // of an epoch wins, replays are no-ops — the sink-side half of the
+    // contract whose source-side half is the checkpointed offset log.
+    // (Ledger is in-memory; see SumSink.epochs for the restart caveat.)
     if (seen.add(epochId)) {
       val partials = messages.collect { case m: SumPartial => m }
       SumSink.results.merge(key,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -278,7 +278,23 @@ private[sources] class TickMicroBatchStream(rows: Long, parts: Int,
       "admission-controlled source: latestOffset(start, limit)")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TickOffset].next
-    TickOffset(math.min(s + batchRows, ceiling))
+    val avail = math.max(0L, ceiling - s)
+    // Honor the limit Spark actually passed, not just our own default:
+    // Trigger.AvailableNow and user maxRows configs arrive here as
+    // ReadAllAvailable / ReadMaxRows / a composite of both, and a
+    // source that silently re-applies its default pacing breaks their
+    // contract. Composite takes the most restrictive member; MinRows
+    // is a lower bound — below it the batch doesn't trigger at all
+    // (maxTriggerDelayMs escape hatch not modeled by this source).
+    def cap(l: ReadLimit): Long = l match {
+      case m: ReadMaxRows      => m.maxRows()
+      case _: ReadAllAvailable => Long.MaxValue
+      case m: ReadMinRows      =>
+        if (avail < m.minRows()) 0L else Long.MaxValue
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _                   => batchRows
+    }
+    TickOffset(s + math.min(avail, cap(limit)))
   }
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(batchRows)

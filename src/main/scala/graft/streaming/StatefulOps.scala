@@ -42,7 +42,12 @@ object StatefulOps {
         if (e.value > mean * threshold)
           out += Anomaly(userId, e.event_id, e.value, mean)
       }
-      st = RunStats(st.n + 1, st.cents + math.round(e.value * 100))
+      // Half-away-from-zero to match the oracle's CAST(value AS
+      // DECIMAL(18,2)) tie rule — math.round is half-up and diverges
+      // on negative half-cents (see CappedBalanceProcessor).
+      val x = e.value * 100d
+      st = RunStats(st.n + 1, st.cents +
+        (if (x >= 0d) math.floor(x + 0.5d) else math.ceil(x - 0.5d)).toLong)
     }
     state.update(st)
     out.iterator
@@ -121,7 +126,14 @@ object StatefulOps {
       var (bal, hits) =
         if (st.exists()) st.get() else (0L, 0L)
       rows.toSeq.sortBy(_.event_id).foreach { e =>
-        val next = bal + math.round(e.value * 100) - 10000L
+        // Half-AWAY-FROM-ZERO, pinned to match the oracle's DuckDB
+        // ROUND(value*100). math.round is half-up (toward +inf) and
+        // diverges on negative half-cents (-0.005 → 0 vs -1), so the
+        // parity must not depend on the fixture staying non-negative.
+        val x = e.value * 100d
+        val cents =
+          (if (x >= 0d) math.floor(x + 0.5d) else math.ceil(x - 0.5d)).toLong
+        val next = bal + cents - 10000L
         if (next < 0) { bal = 0L; hits += 1 } else bal = next
       }
       st.update((bal, hits))

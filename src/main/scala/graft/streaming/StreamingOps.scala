@@ -204,14 +204,37 @@ object StreamingOps {
     * the capacity answer: what fraction of a fully-shuffled replay
     * would an N-second watermark drop, and how much state must it
     * hold. Integer microsecond math; the hash order is md5-derived so
-    * both engines walk the identical permutation. */
+    * both engines walk the identical permutation.
+    *
+    * The running high-water mark is a prefix max over a GLOBAL order —
+    * naively an un-partitioned Window, i.e. one task sorting the whole
+    * table, which contradicts the capacity-planning framing at 100 TB.
+    * Instead it is computed range-bucketed in two passes: (1) a
+    * per-bucket prefix max, where the bucket is the first hex char of
+    * the arrival key (a PREFIX of the sort key, so bucket order equals
+    * global order); (2) a 16-row per-bucket-max summary, prefix-maxed
+    * over preceding buckets and broadcast back. greatest(local, prior)
+    * is exactly the global prefix max — same output, but the big table
+    * is only ever hash-partitioned 16 ways and sorted per-bucket. */
   def latenessProfile(e: DataFrame): DataFrame = {
-    val w = Window.orderBy("arrival", "event_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    e.select(col("user_id"), col("event_id"),
+    val base = e.select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       .withColumn("arrival", md5(col("event_id").cast("string")))
-      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("bkt", substring(col("arrival"), 1, 1))
+    val wLocal = Window.partitionBy("bkt").orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // 16 rows — the only un-partitioned window runs over the summary,
+    // not the data.
+    val wPrior = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priors = base.groupBy("bkt").agg(max(col("us")).as("bmax"))
+      .withColumn("prior_hwm", max(col("bmax")).over(wPrior))
+      .select("bkt", "prior_hwm")
+    base
+      .join(broadcast(priors), "bkt")
+      .withColumn("hwm",
+        greatest(max(col("us")).over(wLocal),
+          coalesce(col("prior_hwm"), lit(Long.MinValue))))
       .withColumn("late_bucket",
         expr("""CASE WHEN (hwm - us) div 1000000 < 1 THEN 0
                |     WHEN (hwm - us) div 1000000 < 10 THEN 1
