@@ -92,12 +92,14 @@ object Multimodal {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(s, dir)).toDF()
       .select(col("media_id"), col("nBytes").as("n_bytes"),
-        round(element_at(col("features"), 5).cast("double")
-          / col("nBytes"), 6).as("bin4"),
-        round(element_at(col("features"), 7).cast("double")
-          / col("nBytes"), 6).as("bin6"),
-        round(element_at(col("features"), 8).cast("double")
-          / col("nBytes"), 6).as("bin7"))
+        // Raw: integer-ratio quotients are bit-identical across
+        // engines; a per-engine round(6) flips on boundary rationals.
+        (element_at(col("features"), 5).cast("double")
+          / col("nBytes")).as("bin4"),
+        (element_at(col("features"), 7).cast("double")
+          / col("nBytes")).as("bin6"),
+        (element_at(col("features"), 8).cast("double")
+          / col("nBytes")).as("bin7"))
 
   /** Resize (downsample) by stride decimation — the nearest-neighbor
     * resize analogue on an opaque blob: keep every `factor`-th byte.
@@ -213,15 +215,15 @@ object Multimodal {
     // cover a-z ranges.
     "mm_features" ->
       """SELECT doc_id AS media_id, length(text) AS n_bytes,
-        |  ROUND(len(list_filter(range(length(text)),
+        |  len(list_filter(range(length(text)),
         |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 4))
-        |    / CAST(length(text) AS DOUBLE), 6) AS bin4,
-        |  ROUND(len(list_filter(range(length(text)),
+        |    / CAST(length(text) AS DOUBLE) AS bin4,
+        |  len(list_filter(range(length(text)),
         |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 6))
-        |    / CAST(length(text) AS DOUBLE), 6) AS bin6,
-        |  ROUND(len(list_filter(range(length(text)),
+        |    / CAST(length(text) AS DOUBLE) AS bin6,
+        |  len(list_filter(range(length(text)),
         |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)) // 16 = 7))
-        |    / CAST(length(text) AS DOUBLE), 6) AS bin7
+        |    / CAST(length(text) AS DOUBLE) AS bin7
         |FROM documents""".stripMargin,
     // ASCII ⇒ byte i == char code at position i; every 4th char kept
     "mm_resize" ->

@@ -121,7 +121,9 @@ object Analytics {
       .join(broadcast(uni.select(col("tok").as("w2"), col("nu").as("nu2"))),
         "w2")
       .select(col("w1"), col("w2"), col("n"),
-        expr("ROUND(LN((n / nb) / ((nu1 / nt) * (nu2 / nt))), 4)").as("pmi"))
+        // Raw: every input is an integer ratio (bit-identical) and one
+        // LN — same IEEE ops both engines; no per-engine rounding.
+        expr("LN((n / nb) / ((nu1 / nt) * (nu2 / nt)))").as("pmi"))
       .orderBy(desc("n"), col("w1"), col("w2"))
       .limit(20)
   }
@@ -157,7 +159,10 @@ object Analytics {
       .withColumn("z0", (col("l_extendedprice") - col("mu")) / col("sd"))
       .filter(abs(col("z0")) > 1.5)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), round(col("z0"), 4).as("z"))
+        // z emitted RAW: z0 is bit-identical (decimal-pinned moments),
+        // and a per-engine round(…,4) flips at rounding boundaries —
+        // the exact win_rolling_zscore failure mode.
+        col("l_extendedprice"), col("z0").as("z"))
   }
 
   /** SCD2 (slowly-changing-dimension type 2) build: per-part daily
@@ -472,7 +477,7 @@ object Analytics {
         |cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY 1,2),
         |uni AS (SELECT tok, COUNT(*) AS nu FROM pos GROUP BY 1),
         |tot AS (SELECT SUM(n) AS nb FROM cnt), tu AS (SELECT SUM(nu) AS nt FROM uni)
-        |SELECT w1, w2, n, ROUND(LN((n / nb) / ((u1.nu / nt) * (u2.nu / nt))), 4) AS pmi
+        |SELECT w1, w2, n, LN((n / nb) / ((u1.nu / nt) * (u2.nu / nt))) AS pmi
         |FROM cnt, tot, tu
         |JOIN uni u1 ON u1.tok = cnt.w1
         |JOIN uni u2 ON u2.tok = cnt.w2
@@ -490,7 +495,7 @@ object Analytics {
         |         SQRT((n*sxx - sx*sx) / (n*(n-1.0))) AS sd
         |       FROM m)
         |SELECT l.l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |       ROUND((l_extendedprice - mu) / sd, 4) AS z
+        |       (l_extendedprice - mu) / sd AS z
         |FROM lineitem l JOIN st ON l.l_suppkey = st.l_suppkey
         |WHERE ABS((l_extendedprice - mu) / sd) > 1.5""".stripMargin,
     "etl_scd2" ->

@@ -54,7 +54,10 @@ object Analytics2 {
       .withColumn("rz", (col("value") - col("med")) / (lit(1.4826) * col("mad")))
       .filter(abs(col("rz")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
-        round(col("rz"), 4).as("robust_z"))
+        // Raw: value/med/mad are exact rationals and every op is an
+        // IEEE-exact +,-,*,/ — bit-identical; a per-engine round(4)
+        // flips when the rational lands on a rounding boundary.
+        col("rz").as("robust_z"))
   }
 
   /** Cross-source priority dedup: documents sharing a canonical key
@@ -163,7 +166,7 @@ object Analytics2 {
     val tot = cnt.groupBy("from_type").agg(sum("n").as("tn"))
     cnt.join(broadcast(tot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n") / col("tn"), 6).as("p"))
+        (col("n") / col("tn")).as("p"))
   }
 
   /** ROLLUP with grouping-indicator columns: `GROUPING(col)` flags
@@ -306,9 +309,9 @@ object Analytics2 {
     val w = Window.partitionBy("o_custkey")
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        round(col("o_totalprice")
+        (col("o_totalprice")
           / sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast("double"), 6).as("share"))
+            .cast("double")).as("share"))
   }
 
   /** DAU / WAU / stickiness: daily and weekly distinct actives joined
@@ -324,7 +327,7 @@ object Analytics2 {
       .groupBy("wk").agg(countDistinct("user_id").as("wau"))
     d.join(broadcast(w), date_trunc("week", col("day")).cast("date") === col("wk"))
       .select(col("day"), col("dau"), col("wau"),
-        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+        (col("dau") / col("wau").cast("double")).as("stickiness"))
   }
 
   /** Skewness / excess kurtosis from raw power sums: l_quantity is
@@ -342,10 +345,10 @@ object Analytics2 {
         |             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
         |           FROM graft_moments_lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-        |        / POWER(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew,
-        |  ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-        |        / POWER(s2/n - (s1/n)*(s1/n), 2) - 3, 4) AS ex_kurt
+        |  (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |    / POWER(s2/n - (s1/n)*(s1/n), 1.5) AS skew,
+        |  (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |    / POWER(s2/n - (s1/n)*(s1/n), 2) - 3 AS ex_kurt
         |FROM s""".stripMargin)
   }
 
@@ -410,8 +413,12 @@ object Analytics2 {
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
-        round(sum(least(greatest(col("value"), col("lo")), col("hi"))), 2)
-          .as("winsorized_sum"))
+        // Decimal-pinned: a double sum over a group is accumulation-
+        // order-dependent; the clamped values are ≤4-decimal rationals
+        // (2-decimal data, 2-digit percentile interpolation fractions)
+        // so a DECIMAL(18,6) cast is exact and identical both engines.
+        sum(least(greatest(col("value"), col("lo")), col("hi"))
+          .cast(DecimalType(18, 6))).cast("double").as("winsorized_sum"))
   }
 
   /** Surrogate-key assignment: deterministic dense integer keys for a
@@ -487,7 +494,8 @@ object Analytics2 {
         |       COUNT(*) AS n,
         |       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
         |       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-        |       ROUND(SUM(least(greatest(e.value, b.lo), b.hi)), 2) AS winsorized_sum
+        |       CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS winsorized_sum
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type""".stripMargin,
     "events_path_top3" ->
@@ -514,8 +522,8 @@ object Analytics2 {
         |GROUP BY doc_id""".stripMargin,
     "win_ratio_to_report" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |       ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |         OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+        |       o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
         |FROM orders""".stripMargin,
     "events_dau_wau" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
@@ -523,7 +531,7 @@ object Analytics2 {
         |w AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
         |        COUNT(DISTINCT user_id) AS wau
         |      FROM events GROUP BY 1)
-        |SELECT d.day, d.dau, w.wau, ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+        |SELECT d.day, d.dau, w.wau, d.dau / CAST(w.wau AS DOUBLE) AS stickiness
         |FROM d JOIN w ON CAST(date_trunc('week', d.day) AS DATE) = w.wk""".stripMargin,
     "agg_skew_kurt" ->
       """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
@@ -532,10 +540,10 @@ object Analytics2 {
         |             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
         |           FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-        |        / POWER(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew,
-        |  ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-        |        / POWER(s2/n - (s1/n)*(s1/n), 2) - 3, 4) AS ex_kurt
+        |  (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |    / POWER(s2/n - (s1/n)*(s1/n), 1.5) AS skew,
+        |  (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |    / POWER(s2/n - (s1/n)*(s1/n), 2) - 3 AS ex_kurt
         |FROM s""".stripMargin,
     "events_rfm" ->
       """WITH p AS (SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
@@ -603,7 +611,7 @@ object Analytics2 {
         |      FROM e),
         |cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM p WHERE from_type IS NOT NULL GROUP BY 1,2),
         |tot AS (SELECT from_type, SUM(n) AS tn FROM cnt GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n, ROUND(c.n / t.tn, 6) AS p
+        |SELECT c.from_type, c.to_type, c.n, c.n / t.tn AS p
         |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
     "agg_grouping_id" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
@@ -624,7 +632,7 @@ object Analytics2 {
         |        FROM events e JOIN med m ON e.event_type = m.event_type),
         |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
         |SELECT d.event_id, d.event_type, d.value,
-        |       ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+        |       (d.value - d.med) / (1.4826 * m.mad) AS robust_z
         |FROM dev d JOIN mad m ON d.event_type = m.event_type
         |WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.0""".stripMargin,
     "llm_dedup_priority" ->

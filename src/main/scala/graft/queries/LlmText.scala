@@ -146,7 +146,9 @@ object LlmText {
         raw.join(candDocs, Seq("doc_id"), "left_semi"))
       withJaccard(shCand, cands)
         .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        // jaccard is an integer ratio — bit-identical raw; per-engine
+        // round(4) flips on boundary-terminating rationals.
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .localCheckpoint(eager = true)
     } finally raw.unpersist(blocking = false)
   }
@@ -176,7 +178,7 @@ object LlmText {
       .distinct()
     withJaccard(sh, cands)
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint(eager = true)
   }
 
@@ -259,6 +261,17 @@ object LlmText {
         sid, _ => scala.collection.mutable.Map.empty)
       perSession.getOrElseUpdate(key, compute)
     }
+
+  /** Drop this session's memoized frames and their storage. Memoized
+    * frames are localCheckpoints — their blocks are unrecomputable
+    * once dropped (truncated lineage), so the map entries go with
+    * them; the next call recomputes from source. End-of-run hook for
+    * long verify/bench sessions (see [[graft.core.CacheRelease]]). */
+  def releaseMemo(s: SparkSession): Unit = memoCache.synchronized {
+    val sid = sessionKey(s)
+    Option(memoCache.remove(sid)).foreach(_.values.foreach(
+      _.unpersist(blocking = true)))
+  }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     memo(s, s"clusters:$dir")(computeClusters(s, dir))
@@ -497,7 +510,7 @@ object LlmText {
         size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
         when(col("n_shingles") > 0,
-          round(lit(1.0) - col("n_distinct") / col("n_shingles").cast("double"), 6))
+          lit(1.0) - col("n_distinct") / col("n_shingles").cast("double"))
           .otherwise(0.0).as("rep_ratio"))
 
   /** Incremental batch-vs-corpus dedup — the production ingest shape:
@@ -613,7 +626,7 @@ object LlmText {
         sum(when(col("in_vocab").isNotNull, col("c")).otherwise(0L))
           .as("n_covered"))
       .select(col("source"), col("n_tokens"), col("n_covered"),
-        round(lit(1.0) - col("n_covered") / col("n_tokens").cast("double"), 6)
+        (lit(1.0) - col("n_covered") / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
 
@@ -635,7 +648,7 @@ object LlmText {
       (sum(col("shard_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
     perShard.crossJoin(broadcast(mean))
       .select(col("shard"), col("n_docs"), col("shard_tokens"),
-        round(col("shard_tokens") / col("mean_tokens"), 4).as("skew"))
+        (col("shard_tokens") / col("mean_tokens")).as("skew"))
   }
 
   /** Sequence packing: greedily pack docs into fixed token-budget
@@ -859,8 +872,8 @@ object LlmText {
       size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
         .as("n_alpha_tokens"),
       length(col("text")).cast("long").as("n_chars"),
-      round((length(col("text")) - size(toks(col("text"))) + 1)
-        / size(toks(col("text"))).cast("double"), 4).as("avg_token_len"))
+      ((length(col("text")) - size(toks(col("text"))) + 1)
+        / size(toks(col("text"))).cast("double")).as("avg_token_len"))
 
   /** Quality scoring: length saturation + type-token ratio + punctuation
     * share, combined into one [0,1] score. */
@@ -873,9 +886,12 @@ object LlmText {
     docs(s, dir).select(
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),
-      round(ttr, 4).as("ttr"),
-      round(punct, 4).as("punct_ratio"),
-      round(least(lit(1.0), nTok / 50.0) * 0.5 + ttr * 0.5 - punct * 0.25, 4)
+      // All raw: integer ratios and IEEE-exact combinations of them
+      // are bit-identical across engines; per-engine round(4) flips
+      // when a ratio's terminating expansion lands on a boundary.
+      ttr.as("ttr"),
+      punct.as("punct_ratio"),
+      (least(lit(1.0), nTok / 50.0) * 0.5 + ttr * 0.5 - punct * 0.25)
         .as("quality"))
   }
 
@@ -947,8 +963,8 @@ object LlmText {
       .filter(greatest(col("n_inter") / col("za.n_sh"),
         col("n_inter") / col("zb.n_sh")) >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        round(col("n_inter") / col("za.n_sh"), 4).as("cont_a"),
-        round(col("n_inter") / col("zb.n_sh"), 4).as("cont_b"))
+        (col("n_inter") / col("za.n_sh")).as("cont_a"),
+        (col("n_inter") / col("zb.n_sh")).as("cont_b"))
       .localCheckpoint(eager = true)
   }
 
@@ -989,7 +1005,7 @@ object LlmText {
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select(col("n_truth"), col("n_lsh"), col("n_hit"),
-        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+        (col("n_hit") / col("n_truth")).as("recall"))
   }
 
   /** Distributed inverted-index build — the retrieval-side artifact a
@@ -1091,7 +1107,7 @@ object LlmText {
       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
       |          GROUP BY c.doc_a, c.doc_b)
       |SELECT doc_a, doc_b,
-      |  ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+      |  n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) AS jaccard
       |FROM inter
       |JOIN sizes za ON za.doc_id = doc_a
       |JOIN sizes zb ON zb.doc_id = doc_b
@@ -1257,7 +1273,7 @@ object LlmText {
         |m AS (SELECT SUM(shard_tokens) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
         |      FROM ps)
         |SELECT shard, n_docs, shard_tokens,
-        |  ROUND(shard_tokens / mean_tokens, 4) AS skew
+        |  shard_tokens / mean_tokens AS skew
         |FROM ps CROSS JOIN m""".stripMargin,
     "llm_incremental_dedup" ->
       s"""WITH $shingleCte,
@@ -1334,8 +1350,8 @@ object LlmText {
         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CASE WHEN term IN (SELECT term FROM top) THEN c
         |           ELSE 0 END) AS BIGINT) AS n_covered,
-        |  ROUND(1.0 - SUM(CASE WHEN term IN (SELECT term FROM top) THEN c
-        |                  ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+        |  1.0 - SUM(CASE WHEN term IN (SELECT term FROM top) THEN c
+        |            ELSE 0 END) / CAST(SUM(c) AS DOUBLE) AS oov_rate
         |FROM bst
         |GROUP BY source""".stripMargin,
     "text_repetition" ->
@@ -1347,7 +1363,7 @@ object LlmText {
         |SELECT doc_id, len(s) AS n_shingles,
         |  len(list_distinct(s)) AS n_distinct,
         |  CASE WHEN len(s) > 0
-        |       THEN ROUND(1.0 - len(list_distinct(s)) / CAST(len(s) AS DOUBLE), 6)
+        |       THEN 1.0 - len(list_distinct(s)) / CAST(len(s) AS DOUBLE)
         |       ELSE 0.0 END AS rep_ratio
         |FROM sh""".stripMargin,
     "llm_seq_pack" ->
@@ -1447,8 +1463,8 @@ object LlmText {
          |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
          |          GROUP BY c.doc_a, c.doc_b)
          |SELECT i.doc_a, i.doc_b, i.n_inter,
-         |       ROUND(i.n_inter / za.n_sh, 4) AS cont_a,
-         |       ROUND(i.n_inter / zb.n_sh, 4) AS cont_b
+         |       i.n_inter / za.n_sh AS cont_a,
+         |       i.n_inter / zb.n_sh AS cont_b
          |FROM inter i JOIN sizes za ON i.doc_a = za.doc_id
          |             JOIN sizes zb ON i.doc_b = zb.doc_id
          |WHERE greatest(i.n_inter / za.n_sh, i.n_inter / zb.n_sh) >= 0.5""".stripMargin,
@@ -1532,8 +1548,8 @@ object LlmText {
          |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
          |       (SELECT COUNT(*) FROM lsh) AS n_lsh,
          |       (SELECT COUNT(*) FROM hit) AS n_hit,
-         |       ROUND((SELECT COUNT(*) FROM hit) * 1.0
-         |             / (SELECT COUNT(*) FROM truth), 4) AS recall""".stripMargin,
+         |       (SELECT COUNT(*) FROM hit) * 1.0
+         |         / (SELECT COUNT(*) FROM truth) AS recall""".stripMargin,
     "llm_simhash" ->
       """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
         |             FROM documents),
@@ -1576,21 +1592,21 @@ object LlmText {
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
         |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
         |  length(text) AS n_chars,
-        |  ROUND((length(text) - len(string_split(text, ' ')) + 1)
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+        |  (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
         |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  ROUND(len(list_distinct(string_split(text, ' ')))
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
-        |  ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-        |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-        |  ROUND(least(1.0, len(string_split(text, ' ')) / 50.0) * 0.5
-        |        + (len(list_distinct(string_split(text, ' ')))
-        |           / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-        |        - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-        |           / CAST(length(text) AS DOUBLE)) * 0.25, 4) AS quality
+        |  len(list_distinct(string_split(text, ' ')))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  least(1.0, len(string_split(text, ' ')) / 50.0) * 0.5
+        |    + (len(list_distinct(string_split(text, ' ')))
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |    - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |       / CAST(length(text) AS DOUBLE)) * 0.25 AS quality
         |FROM documents""".stripMargin,
     "text_langid" -> {
       def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")

@@ -188,7 +188,8 @@ object LlmVectors {
     assigned2.groupBy("cid")
       .agg(count(lit(1)).as("n_members"))
       .join(recompute(assigned2).select(col("cid"),
-        round(element_at(col("c"), 1), 6).as("c0")), Seq("cid"))
+        // c0 raw: decimal-sum/count quotient, bit-identical both engines
+        element_at(col("c"), 1).as("c0")), Seq("cid"))
   }
 
   /** Product-quantization ANN: each 64-dim vector splits into M=4
@@ -255,7 +256,9 @@ object LlmVectors {
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk"), col("vec_id"),
-        round(col("adist"), 4).as("adist"))
+        // Raw: adist is a 4-term DECIMAL(18,9) sum cast to double —
+        // exact rational, bit-identical; per-engine round(4) can flip.
+        col("adist"))
   }
 
   /** Recall evaluation of the approximate indexes against brute force:
@@ -274,7 +277,7 @@ object LlmVectors {
       val total = exact.agg(count(lit(1)).as("n_exact"))
       hits.crossJoin(total).select(
         lit(method).as("method"), col("n_hits"), col("n_exact"),
-        round(col("n_hits") / col("n_exact").cast("double"), 4).as("recall"))
+        (col("n_hits") / col("n_exact").cast("double")).as("recall"))
     }
     eval("lsh", annLsh(s, dir))
       .unionByName(eval("ivf", annIvf(s, dir)))
@@ -329,11 +332,14 @@ object LlmVectors {
       sum(col("x").cast(DecimalType(18, 9))).cast("double").as("sx"),
       sum((col("x") * col("x")).cast(DecimalType(18, 9))).cast("double")
         .as("sxx"))
+    // mean/std emitted RAW: decimal-exact sums → every downstream op
+    // (+,-,*,/,sqrt) is IEEE-exact and bit-identical on both engines;
+    // a per-engine round(6) flips on boundary-terminating rationals.
     st.select(col("label"), col("pos"), col("n"),
-      round(col("sx") / col("n"), 6).as("mean"),
-      round(sqrt(greatest(
+      (col("sx") / col("n")).as("mean"),
+      sqrt(greatest(
         col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
-        lit(0.0))), 6).as("std"))
+        lit(0.0))).as("std"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -408,8 +414,8 @@ object LlmVectors {
         |         CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
         |         CAST(SUM(CAST(x*x AS DECIMAL(18,9))) AS DOUBLE) AS sxx
         |       FROM p GROUP BY 1, 2)
-        |SELECT label, pos, n, ROUND(sx/n, 6) AS mean,
-        |  ROUND(sqrt(GREATEST(sxx/n - (sx/n)*(sx/n), 0)), 6) AS std
+        |SELECT label, pos, n, sx/n AS mean,
+        |  sqrt(GREATEST(sxx/n - (sx/n)*(sx/n), 0.0)) AS std
         |FROM st""".stripMargin,
     "llm_semdedup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -447,7 +453,7 @@ object LlmVectors {
          |       FROM f2 GROUP BY cid, pos),
          |c2 AS (SELECT cid, list(c ORDER BY pos) AS c FROM m2 GROUP BY cid),
          |n AS (SELECT cid, COUNT(*) AS n_members FROM s2 GROUP BY cid)
-         |SELECT n.cid, n.n_members, ROUND(c2.c[1], 6) AS c0
+         |SELECT n.cid, n.n_members, c2.c[1] AS c0
          |FROM n JOIN c2 ON n.cid = c2.cid""".stripMargin,
     // flattened single WITH list (DuckDB 1.0 rejects nested WITH in a
     // derived table); exact/lsh/ivf pipelines share the e and q CTEs
@@ -493,18 +499,18 @@ object LlmVectors {
          |  (SELECT COUNT(*) FROM exact JOIN lsh
          |     ON exact.q_id = lsh.q_id AND exact.vec_id = lsh.vec_id) AS n_hits,
          |  n_exact,
-         |  ROUND((SELECT COUNT(*) FROM exact JOIN lsh
+         |  (SELECT COUNT(*) FROM exact JOIN lsh
          |     ON exact.q_id = lsh.q_id AND exact.vec_id = lsh.vec_id)
-         |    / CAST(n_exact AS DOUBLE), 4) AS recall
+         |    / CAST(n_exact AS DOUBLE) AS recall
          |FROM ne
          |UNION ALL
          |SELECT 'ivf',
          |  (SELECT COUNT(*) FROM exact JOIN ivf
          |     ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id),
          |  n_exact,
-         |  ROUND((SELECT COUNT(*) FROM exact JOIN ivf
+         |  (SELECT COUNT(*) FROM exact JOIN ivf
          |     ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id)
-         |    / CAST(n_exact AS DOUBLE), 4)
+         |    / CAST(n_exact AS DOUBLE)
          |FROM ne""".stripMargin,
     "llm_ann_ivf" -> ivfSql(1),
     "llm_ann_ivf2" -> ivfSql(2),
@@ -540,7 +546,7 @@ object LlmVectors {
          |r AS (SELECT q_id, vec_id, adist, CAST(ROW_NUMBER() OVER (
          |        PARTITION BY q_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rnk
          |      FROM sc)
-         |SELECT q_id, rnk, vec_id, ROUND(adist, 4) AS adist
+         |SELECT q_id, rnk, vec_id, adist
          |FROM r WHERE rnk <= 3""".stripMargin,
     "llm_vector_norms" ->
       """SELECT vec_id,

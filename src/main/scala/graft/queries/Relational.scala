@@ -53,9 +53,13 @@ object Relational {
           .as("sum_disc_price"),
         dsum2(d18(col("l_extendedprice")) * d8(lit(1) - col("l_discount"))
           * d8(lit(1) + col("l_tax"))).as("sum_charge"),
-        round(dsum2(d18(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
-        round(dsum2(d18(col("l_extendedprice"))) / count(lit(1)), 4).as("avg_price"),
-        round(dsum(d18(col("l_discount"))) / count(lit(1)), 4).as("avg_disc"),
+        // avg_* emitted RAW: the quotient of a decimal-exact sum and a
+        // count is bit-identical on both engines, and a per-engine
+        // round(…,4) re-introduces the rounding-boundary divergence
+        // (the win_rolling_zscore lesson).
+        (dsum2(d18(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+        (dsum2(d18(col("l_extendedprice"))) / count(lit(1))).as("avg_price"),
+        (dsum(d18(col("l_discount"))) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Exact distinct-count aggregation. */
@@ -324,18 +328,25 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy("event_id")
     t(s, dir, "events").select(
       col("event_id"), col("user_id"),
-      round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
-      round(lead(col("value"), 1).over(w) - col("value"), 4).as("delta_next"))
+      // Raw: a single subtraction of identical doubles is bit-identical
+      // on both engines; rounding it per-engine only adds boundary risk.
+      (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+      (lead(col("value"), 1).over(w) - col("value")).as("delta_next"))
   }
 
-  /** 7-row moving average of order value per customer. */
+  /** 7-row moving average of order value per customer. The frame sum is
+    * decimal-pinned (sliding-window engines are free to accumulate in
+    * any association — Spark's running add vs DuckDB's segment tree —
+    * so a double frame sum is NOT order-stable), and the sum/count
+    * quotient is then bit-identical and emitted raw. */
   def winMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(-6, 0)
     t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"),
-      round(avg(col("o_totalprice")).over(w), 4).as("ma7"))
+      (sum(d18(col("o_totalprice"))).over(w).cast(DoubleType)
+        / count(lit(1)).over(w)).as("ma7"))
   }
 
   /** first/last value per supplier over its full shipping history. */
@@ -415,7 +426,9 @@ object Relational {
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("epoch"), col("value"))
       .select(col("event_id"), col("user_id"),
-        round(sum(col("value")).over(w), 4).as("rolling_1h"))
+        // Decimal-pinned frame sum (RANGE frames accumulate in
+        // engine-chosen association), quotient-free so emitted raw.
+        sum(d18(col("value"))).over(w).cast(DoubleType).as("rolling_1h"))
   }
 
   /** Correlated scalar subquery: orders 1.5× above their customer's
@@ -501,13 +514,15 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
 
   /** percent_rank + cume_dist: both are single-division doubles of the
-    * same integers on either engine, so round(6) is safe. */
+    * same integers on either engine — bit-identical, so they are
+    * emitted RAW (an integer ratio CAN sit exactly on a rounding
+    * boundary; a per-engine round(6) would flip there). */
   def winPercentRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
     t(s, dir, "orders").select(
       col("o_orderkey"), col("o_orderpriority"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cume"))
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
   }
 
   /** Grouped list aggregation, emitted as a sorted comma-joined string:
@@ -1161,10 +1176,10 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "win_percent_rank" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
-        |                             ORDER BY o_totalprice), 6) AS pct_rank,
-        |  ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
-        |                          ORDER BY o_totalprice), 6) AS cume
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice) AS cume
         |FROM orders""".stripMargin,
     "agg_collect_list" ->
       """SELECT c_nationkey, COUNT(*) AS n,
@@ -1177,9 +1192,9 @@ object Relational {
          |  $sumPrice AS sum_base_price,
          |  $sumDisc AS sum_disc_price,
          |  $sumCharge AS sum_charge,
-         |  ROUND($sumQty / COUNT(*), 4) AS avg_qty,
-         |  ROUND($sumPrice / COUNT(*), 4) AS avg_price,
-         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+         |  $sumQty / COUNT(*) AS avg_qty,
+         |  $sumPrice / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -1265,8 +1280,10 @@ object Relational {
         |             value
         |           FROM events)
         |SELECT event_id, user_id,
-        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch
-        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_1h
         |FROM e""".stripMargin,
     "subq_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
@@ -1334,16 +1351,18 @@ object Relational {
         |  FROM orders) WHERE rn <= 3""".stripMargin,
     "win_lag_lead" ->
       """SELECT event_id, user_id,
-        |  ROUND(value - LAG(value, 1) OVER w, 4) AS delta_prev,
-        |  ROUND(LEAD(value, 1) OVER w - value, 4) AS delta_next
+        |  value - LAG(value, 1) OVER w AS delta_prev,
+        |  LEAD(value, 1) OVER w - value AS delta_next
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
     "win_moving_avg" ->
       """SELECT o_orderkey, o_custkey,
-        |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-        |FROM orders""".stripMargin,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS ma7
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "win_first_last" ->
       """SELECT DISTINCT l_suppkey,
         |  FIRST_VALUE(l_extendedprice) OVER w AS first_price,

@@ -165,16 +165,17 @@ object ScaleOps {
     base.withColumn("qv", qv)
       .select(
         col("vec_id"),
-        round(col("scale"), 6).as("scale_r"),
+        // Raw: scale and err are bit-identical folds/quotients on both
+        // engines; per-engine rounding only adds boundary risk.
+        col("scale").as("scale_r"),
         aggregate(col("qv"), lit(0.0), (acc, v) => acc + v).cast("long")
           .as("q_sum"),
         aggregate(col("qv"), lit(0.0), (acc, v) => acc + abs(v)).cast("long")
           .as("q_l1"),
-        round(
-          dot(col("emb"), col("emb"))
-            - lit(2.0) * col("scale") * dot(col("emb"), col("qv"))
-            + col("scale") * col("scale") * dot(col("qv"), col("qv")),
-          9).as("err"))
+        (dot(col("emb"), col("emb"))
+          - lit(2.0) * col("scale") * dot(col("emb"), col("qv"))
+          + col("scale") * col("scale") * dot(col("qv"), col("qv")))
+          .as("err"))
   }
 
   /** Exact heavy hitters cross-checked against the native Misra-Gries
@@ -383,6 +384,21 @@ object ScaleOps {
   private val cachedReuseBase =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Unpersist and forget this app's cached reuse bases — end-of-run
+    * hook for long sessions (see [[graft.core.CacheRelease]]). The
+    * base keeps full lineage, so a later call just re-persists. */
+  def releaseCache(s: SparkSession): Unit = {
+    val prefix = s"${s.sparkContext.applicationId}:"
+    val it = cachedReuseBase.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        e.getValue.unpersist(blocking = true)
+        it.remove()
+      }
+    }
+  }
+
   def scanCachedReuse(s: SparkSession, dir: String): DataFrame = {
     val base = cachedReuseBase.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir",
@@ -552,12 +568,12 @@ object ScaleOps {
         |q AS (SELECT vec_id, scale, emb,
         |        list_transform(emb, x -> GREATEST(-127.0, LEAST(127.0, FLOOR(x/scale + 0.5)))) AS qv
         |      FROM s)
-        |SELECT vec_id, ROUND(scale, 6) AS scale_r,
+        |SELECT vec_id, scale AS scale_r,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
-        |  ROUND(list_sum(list_transform(emb, x -> x*x))
+        |  list_sum(list_transform(emb, x -> x*x))
         |    - 2*scale*list_sum(list_transform(list_zip(emb, qv), p -> p[1]*p[2]))
-        |    + scale*scale*list_sum(list_transform(qv, v -> v*v)), 9) AS err
+        |    + scale*scale*list_sum(list_transform(qv, v -> v*v)) AS err
         |FROM q""".stripMargin,
     "agg_heavy_hitters" ->
       """WITH tot AS (SELECT COUNT(*) AS total FROM events),

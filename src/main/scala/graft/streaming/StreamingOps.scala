@@ -35,7 +35,11 @@ object StreamingOps {
   def tumbling(e: DataFrame): DataFrame =
     e.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      // Decimal-pinned: a plain double SUM is accumulation-order-
+      // dependent across engines (same rule as stream_available_now).
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
       .select(date_format(col("w.start"), fmt).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -292,7 +296,8 @@ object StreamingOps {
     "stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
-        |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_hll_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
