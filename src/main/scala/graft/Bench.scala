@@ -136,6 +136,10 @@ object Bench {
       if (len + add <= lineBudget) { entries += e; len += add }
     }
     println(prefix + entries.mkString(",") + suffix)
+    // Release the memoized singletons + any persisted stragglers so a
+    // long bench session ends with zero storage blocks (and so would a
+    // library user's long-lived app calling the same hook).
+    graft.core.CacheRelease(spark)
     spark.stop()
   }
 }

@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** End-of-run storage release for long multi-query sessions.
+  *
+  * A 200+-query Verify/Bench session accumulates MEMORY_ONLY blocks
+  * from three sources: the memoized LLM-dedup singletons (shingle set,
+  * near-dup pairs, clusters — eager localCheckpoints), the cached
+  * scan-reuse base, and per-query `localCheckpoint`/`persist` calls
+  * whose frames went out of scope but whose blocks wait on the async
+  * ContextCleaner. On a real cluster those blocks occupy executor
+  * storage memory for the life of the app; releasing them at the end
+  * of a batch run (or between unrelated phases) returns that memory to
+  * execution. Called by [[graft.Bench]] and [[graft.Verify]] after
+  * their last query; `CacheReleaseSpec` pins that nothing persisted
+  * survives and that released singletons recompute on next use.
+  */
+object CacheRelease {
+  /** Unpersist everything this session/app holds: named singleton
+    * caches first (so their owners also forget the now-unrecomputable
+    * localCheckpoint frames), then Spark's table/plan cache, then any
+    * straggler persisted RDDs still registered with the context. */
+  def apply(s: SparkSession): Unit = {
+    graft.queries.LlmText.releaseMemo(s)
+    graft.queries.ScaleOps.releaseCache(s)
+    s.sharedState.cacheManager.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}
