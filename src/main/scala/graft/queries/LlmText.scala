@@ -968,6 +968,79 @@ object LlmText {
       .localCheckpoint(eager = true)
   }
 
+  /** Cross-document duplicated-substring RUNS — span-level exact dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): a token 3-gram appearing in MORE THAN ONE
+    * document marks its start position as duplicated; maximal runs of
+    * consecutive duplicated positions ≥ 5 tokens are the spans a
+    * span-level dedup would cut. Doc-level near-dedup drops whole
+    * documents; this finds the boilerplate/quotation spans INSIDE
+    * otherwise-unique documents — the complementary operator.
+    *
+    * 100 TB shape — linear, no pairwise step anywhere: (1) position-
+    * stamped shingle stream (fanned out before the ~n× generate);
+    * (2) duplicated-shingle set via (sh, doc) distinct + count>1 (two
+    * map-side-combinable shuffles on the shingle key); (3) equi-join
+    * positions against that set (same key, same shuffle); (4) per-doc
+    * gaps-and-islands window (one shuffle on doc_id). The suffix-array
+    * formulation recalls runs of ANY length; the fixed-k approximation
+    * recalls every run ≥ k and is the standard scalable substitute.
+    * The fixture keys on the literal shingle string (engine-neutral
+    * for the oracle); production keys on the int64 shingle hash (the
+    * minhash path) to shrink the shuffle. */
+  def substringRuns(s: SparkSession, dir: String): DataFrame = {
+    val minRunTokens = 5
+    val pos = docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), posexplode(shingles(toks(col("text"))))
+        .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
+    val dup = pos.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    pos.join(dup, Seq("sh"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("run_start"),
+        (max(col("pos")) - min(col("pos")) + lit(3L)).as("run_tokens"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .select("doc_id", "run_start", "run_tokens", "n_shingles")
+  }
+
+  /** Span-level dedup APPLY — the rewrite half of [[substringRuns]]:
+    * every token covered by a duplicated run ≥ 5 tokens is cut and the
+    * document reassembled from the survivors (Lee et al. cut exactly
+    * these spans before training). Graded scalars only: token counts
+    * before/after and the md5 of the reassembled text (the text itself
+    * would be an unbounded graded column).
+    *
+    * Scale: [[substringRuns]]'s linear pipeline, plus one explode of
+    * run extents (bounded by corpus token count), a per-doc position
+    * set (bounded by doc length), and a broadcast-free equi-join back
+    * to the docs — no new shuffle class. */
+  def substringDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val dropPos = substringRuns(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(col("run_start"),
+          col("run_start") + col("run_tokens") - 1)).as("dp"))
+      .groupBy("doc_id").agg(collect_set(col("dp")).as("dps"))
+    docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .join(dropPos, Seq("doc_id"), "left")
+      .withColumn("dps",
+        coalesce(col("dps"), array().cast("array<bigint>")))
+      .withColumn("kept",
+        filter(transform(col("t"),
+          (x, i) => when(array_contains(col("dps"), i.cast("long")),
+            lit(null).cast("string")).otherwise(x)),
+          x => x.isNotNull))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+  }
+
   /** MinHash-banding RECALL against exhaustive ground truth — the
     * llm_ann_recall protocol applied to the dedup path: a banded-LSH
     * configuration is only trustworthy with a measured miss rate.
@@ -1057,6 +1130,8 @@ object LlmText {
     "llm_dataset_card" -> (datasetCard _),
     "llm_inverted_index" -> (invertedIndex _),
     "llm_minhash_recall" -> (minhashRecall _),
+    "llm_substring_runs" -> (substringRuns _),
+    "llm_substring_dedup" -> (substringDedupApply _),
     "text_containment" -> (textContainment _),
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_sigs" -> (minhashSignatures _),
@@ -1515,6 +1590,62 @@ object LlmText {
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |         AS postings
         |FROM tf GROUP BY term""".stripMargin,
+    "llm_substring_runs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |px AS (SELECT doc_id, t,
+        |         CAST(unnest(range(greatest(len(t) - 2, 0))) AS BIGINT) AS pos
+        |       FROM d),
+        |p AS (SELECT doc_id, pos,
+        |        t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] AS sh
+        |      FROM px),
+        |dup AS (SELECT sh FROM (
+        |          SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY sh)
+        |        WHERE nd > 1),
+        |r AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM p JOIN dup USING (sh))
+        |SELECT doc_id, MIN(pos) AS run_start,
+        |  MAX(pos) - MIN(pos) + 3 AS run_tokens,
+        |  COUNT(*) AS n_shingles
+        |FROM r GROUP BY doc_id, grp
+        |HAVING MAX(pos) - MIN(pos) + 3 >= 5""".stripMargin,
+    "llm_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |px AS (SELECT doc_id, t,
+        |         CAST(unnest(range(greatest(len(t) - 2, 0))) AS BIGINT) AS pos
+        |       FROM d),
+        |p AS (SELECT doc_id, pos,
+        |        t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] AS sh
+        |      FROM px),
+        |dup AS (SELECT sh FROM (
+        |          SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY sh)
+        |        WHERE nd > 1),
+        |r AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM p JOIN dup USING (sh)),
+        |runs AS (SELECT doc_id, MIN(pos) AS run_start,
+        |           MAX(pos) - MIN(pos) + 3 AS run_tokens
+        |         FROM r GROUP BY doc_id, grp
+        |         HAVING MAX(pos) - MIN(pos) + 3 >= 5),
+        |dl AS (SELECT doc_id, list(dp) AS dps FROM (
+        |         SELECT doc_id, CAST(unnest(range(run_start,
+        |           run_start + run_tokens)) AS BIGINT) AS dp FROM runs)
+        |       GROUP BY doc_id),
+        |k AS (SELECT d.doc_id, d.t,
+        |        COALESCE(dl.dps, CAST([] AS BIGINT[])) AS dps
+        |      FROM d LEFT JOIN dl USING (doc_id)),
+        |kept AS (SELECT doc_id, len(t) AS n_before,
+        |           list_filter(list_transform(range(len(t)),
+        |             i -> CASE WHEN NOT list_contains(dps, i)
+        |                       THEN t[i+1] END),
+        |             x -> x IS NOT NULL) AS kt
+        |         FROM k)
+        |SELECT doc_id, n_before AS n_tokens_before,
+        |  len(kt) AS n_tokens_after,
+        |  -- array_to_string([]) is NULL in DuckDB but '' under Spark's
+        |  -- concat_ws — pin the fully-deduplicated-doc case
+        |  md5(COALESCE(array_to_string(kt, ' '), '')) AS cleaned_md5
+        |FROM kept""".stripMargin,
     "llm_minhash_recall" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

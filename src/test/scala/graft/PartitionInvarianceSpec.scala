@@ -24,7 +24,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // cumulative window, SCD2 range join, TPC-H top-k tiebreak,
     // stateful fold
     "agg_gini", "events_cohort_ltv", "join_scd2_pit", "q3_shipping",
-    "stream_tws_capped_sum")
+    "stream_tws_capped_sum",
+    // round-8: span-level substring dedup (gaps-and-islands over a
+    // shuffled dup-shingle join — classic partition-order territory)
+    "llm_substring_runs", "llm_substring_dedup")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
