@@ -988,12 +988,21 @@ object LlmText {
     * The fixture keys on the literal shingle string (engine-neutral
     * for the oracle); production keys on the int64 shingle hash (the
     * minhash path) to shrink the shuffle. */
+  /** Position-stamped shingle stream, memoized per (session, dir): the
+    * runs query consumes it twice (positions + dup-set) and the apply
+    * query three times — staging it once is the same build-the-index-
+    * once shape as [[shingleSet]]. */
+  private def shinglePositions(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"shpos:$dir")(
+      docs(s, dir).repartition(fanout(s))
+        .select(col("doc_id"), posexplode(shingles(toks(col("text"))))
+          .as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
+        .localCheckpoint(eager = true))
+
   def substringRuns(s: SparkSession, dir: String): DataFrame = {
     val minRunTokens = 5
-    val pos = docs(s, dir).repartition(fanout(s))
-      .select(col("doc_id"), posexplode(shingles(toks(col("text"))))
-        .as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
+    val pos = shinglePositions(s, dir)
     val dup = pos.select("sh", "doc_id").distinct()
       .groupBy("sh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select("sh")
