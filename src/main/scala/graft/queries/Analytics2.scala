@@ -51,6 +51,10 @@ object Analytics2 {
     val mad = dev.groupBy("event_type")
       .agg(expr("percentile(adev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "event_type")
+      // mad > 0 guard: a zero MAD (≥ half the group at one value) makes
+      // rz ±Inf/NaN, where the engines' comparison semantics diverge
+      // (DuckDB orders NaN above everything; Java compares it false).
+      .filter(col("mad") > 0)
       .withColumn("rz", (col("value") - col("med")) / (lit(1.4826) * col("mad")))
       .filter(abs(col("rz")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
@@ -345,10 +349,12 @@ object Analytics2 {
         |             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
         |           FROM graft_moments_lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-        |    / POWER(s2/n - (s1/n)*(s1/n), 1.5) AS skew,
-        |  (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-        |    / POWER(s2/n - (s1/n)*(s1/n), 2) - 3 AS ex_kurt
+        |  CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |      / POWER(s2/n - (s1/n)*(s1/n), 1.5) END AS skew,
+        |  CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |      / POWER(s2/n - (s1/n)*(s1/n), 2) - 3 END AS ex_kurt
         |FROM s""".stripMargin)
   }
 
@@ -540,10 +546,12 @@ object Analytics2 {
         |             SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
         |           FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-        |    / POWER(s2/n - (s1/n)*(s1/n), 1.5) AS skew,
-        |  (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-        |    / POWER(s2/n - (s1/n)*(s1/n), 2) - 3 AS ex_kurt
+        |  CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |      / POWER(s2/n - (s1/n)*(s1/n), 1.5) END AS skew,
+        |  CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |      / POWER(s2/n - (s1/n)*(s1/n), 2) - 3 END AS ex_kurt
         |FROM s""".stripMargin,
     "events_rfm" ->
       """WITH p AS (SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
@@ -634,7 +642,8 @@ object Analytics2 {
         |SELECT d.event_id, d.event_type, d.value,
         |       (d.value - d.med) / (1.4826 * m.mad) AS robust_z
         |FROM dev d JOIN mad m ON d.event_type = m.event_type
-        |WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.0""".stripMargin,
+        |WHERE m.mad > 0
+        |  AND ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.0""".stripMargin,
     "llm_dedup_priority" ->
       """WITH h AS (SELECT doc_id, source,
         |             md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 5), ' ')) AS th

@@ -157,9 +157,13 @@ object ScaleOps {
       .select(col("vec_id"), emb.as("emb"))
       .withColumn("scale",
         array_max(transform(col("emb"), x => abs(x))) / lit(127.0))
-    val qv = transform(col("emb"), x =>
-      greatest(lit(-127.0), least(lit(127.0),
-        floor(x / col("scale") + lit(0.5)).cast(DoubleType))))
+    // scale = 0 (all-zero vector) would make x/scale NaN; an all-zero
+    // vector quantizes to all-zero codes by definition.
+    val qv = when(col("scale") > 0,
+      transform(col("emb"), x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x / col("scale") + lit(0.5)).cast(DoubleType)))))
+      .otherwise(transform(col("emb"), _ => lit(0.0)))
     val dot = (u: Column, v: Column) =>
       aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
     base.withColumn("qv", qv)
@@ -566,7 +570,9 @@ object ScaleOps {
       """WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
         |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x)))/127.0 AS scale FROM b),
         |q AS (SELECT vec_id, scale, emb,
-        |        list_transform(emb, x -> GREATEST(-127.0, LEAST(127.0, FLOOR(x/scale + 0.5)))) AS qv
+        |        CASE WHEN scale > 0
+        |             THEN list_transform(emb, x -> GREATEST(-127.0, LEAST(127.0, FLOOR(x/scale + 0.5))))
+        |             ELSE list_transform(emb, x -> 0.0) END AS qv
         |      FROM s)
         |SELECT vec_id, scale AS scale_r,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
