@@ -1025,29 +1025,44 @@ object LlmText {
     * would be an unbounded graded column).
     *
     * Scale: [[substringRuns]]'s linear pipeline, plus one explode of
-    * run extents (bounded by corpus token count), a per-doc position
-    * set (bounded by doc length), and a broadcast-free equi-join back
-    * to the docs — no new shuffle class. */
+    * run extents (bounded by corpus token count), a posexplode of the
+    * token stream, a left-anti equi-join on (doc_id, pos), and one
+    * per-doc re-aggregation — every step linear in corpus tokens. The
+    * earlier formulation kept a per-doc drop-position SET and rebuilt
+    * each doc with a per-token `array_contains` scan — O(tokens ×
+    * drop-positions) per doc, quadratic exactly on the boilerplate-
+    * heavy docs this operator targets (13.0 s at sf0.1 vs ~1.4 s for
+    * the find half). The anti-join carries the same answer with no
+    * per-doc membership scan at all. */
   def substringDedupApply(s: SparkSession, dir: String): DataFrame = {
     val dropPos = substringRuns(s, dir)
       .select(col("doc_id"),
         explode(sequence(col("run_start"),
-          col("run_start") + col("run_tokens") - 1)).as("dp"))
-      .groupBy("doc_id").agg(collect_set(col("dp")).as("dps"))
-    docs(s, dir).repartition(fanout(s))
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .join(dropPos, Seq("doc_id"), "left")
-      .withColumn("dps",
-        coalesce(col("dps"), array().cast("array<bigint>")))
-      .withColumn("kept",
-        filter(transform(col("t"),
-          (x, i) => when(array_contains(col("dps"), i.cast("long")),
-            lit(null).cast("string")).otherwise(x)),
-          x => x.isNotNull))
+          col("run_start") + col("run_tokens") - 1)).as("pos"))
+    val tokPos = docs(s, dir).repartition(fanout(s))
       .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens_before"),
-        size(col("kept")).cast("long").as("n_tokens_after"),
-        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    // Survivor tokens, re-assembled in position order: pos is unique
+    // within a doc, so array_sort over struct(pos, tok) is a total,
+    // deterministic order and collect_list's arrival order washes out.
+    val rebuilt = tokPos.join(dropPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("kp"))
+      .select(col("doc_id"),
+        size(col("kp")).cast("long").as("n_tokens_after"),
+        md5(concat_ws(" ",
+          transform(col("kp"), p => p.getField("tok")))).as("cleaned_md5"))
+    // Left join back so fully-deduplicated docs (every token cut —
+    // absent from the anti-join survivors) still report, with the
+    // empty-string md5 the previous array-rebuild emitted for them.
+    docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens_before"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens_before"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
   }
 
   /** MinHash-banding RECALL against exhaustive ground truth — the
