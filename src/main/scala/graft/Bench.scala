@@ -47,7 +47,8 @@ object Bench {
     "mm_features", "mm_resize", "mm_frame_sample",
     "join_bloom", "llm_ann_pq", "llm_segment_dedup", "mm_binary_ingest",
     "scan_dsv2_agg", "sql_recursive_walk", "stream_tws_new_highs",
-    "join_asof_nearest", "stream_dsv2", "llm_minhash_recall")
+    "join_asof_nearest", "stream_dsv2", "llm_minhash_recall",
+    "llm_stage_index")
 
   /** Keep the final stdout line comfortably inside the collector's
     * 2000-char tail (sbt appends its own "[success] …" trailer). */
@@ -74,7 +75,14 @@ object Bench {
     // Warm the JVM/codegen once so per-query numbers measure the plan,
     // not first-query classloading.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The shared-index staging entry runs FIRST (alphabetical order
+    // would put llm_ann_* and llm_cc_altstar before it): every other
+    // llm_* query then hits warm memos and reports its OWN cost, and
+    // the index build carries its own named number instead of being
+    // silently charged to whichever consumer ran first.
+    val allQ = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (stageQ, restQ) = allQ.partition(_._1 == "llm_stage_index")
+    val results = (stageQ ++ restQ).map { case (name, fn) =>
       val r0 = metrics.shuffleRead.get; val w0 = metrics.shuffleWrite.get
       val s0 = metrics.spilled.get
       val t0 = System.nanoTime()

@@ -266,11 +266,19 @@ object LlmText {
     * frames are localCheckpoints — their blocks are unrecomputable
     * once dropped (truncated lineage), so the map entries go with
     * them; the next call recomputes from source. End-of-run hook for
-    * long verify/bench sessions (see [[graft.core.CacheRelease]]). */
+    * long verify/bench sessions (see [[graft.core.CacheRelease]]).
+    *
+    * `Dataset.unpersist` alone would NOT free these blocks: it goes
+    * through the cache manager, which tracks plan-cache entries but
+    * not checkpoint RDDs. The storage actually lives on the
+    * `LogicalRDD`'s backing RDD, so that is what gets unpersisted. */
   def releaseMemo(s: SparkSession): Unit = memoCache.synchronized {
     val sid = sessionKey(s)
-    Option(memoCache.remove(sid)).foreach(_.values.foreach(
-      _.unpersist(blocking = true)))
+    Option(memoCache.remove(sid)).foreach(_.values.foreach { df =>
+      df.unpersist(blocking = true)
+      org.apache.spark.sql.graftshims.DatasetShim.checkpointedRdds(df)
+        .foreach(_.unpersist(blocking = true))
+    })
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1000,6 +1008,25 @@ object LlmText {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
         .localCheckpoint(eager = true))
 
+  /** Explicit build of every session-memoized shared index relation —
+    * the "build the index once" step a real curation pipeline runs
+    * before its query fan-out, surfaced as its own named entry so the
+    * cost is attributed HERE and not to whichever llm_* query happens
+    * to run first (r8's bench charged the whole minhash-pair build to
+    * `llm_cc_altstar`, which then looked 3× its true cost). Output is
+    * one graded row per staged relation with its cardinality, so the
+    * staging step is itself oracle-checked. The bench runs this entry
+    * first; every later query's number is then its own work. */
+  def stageIndex(s: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(name).as("relation"), col("n_rows"))
+    one("dedup_clusters", dedupClusters(s, dir))
+      .unionByName(one("minhash_neardup_pairs", minhashNearDup(s, dir)))
+      .unionByName(one("shingle_positions", shinglePositions(s, dir)))
+      .unionByName(one("shingle_set", shingleSet(s, dir)))
+  }
+
   def substringRuns(s: SparkSession, dir: String): DataFrame = {
     val minRunTokens = 5
     val pos = shinglePositions(s, dir)
@@ -1152,6 +1179,7 @@ object LlmText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dataset_card" -> (datasetCard _),
+    "llm_stage_index" -> (stageIndex _),
     "llm_inverted_index" -> (invertedIndex _),
     "llm_minhash_recall" -> (minhashRecall _),
     "llm_substring_runs" -> (substringRuns _),
@@ -1265,6 +1293,26 @@ object LlmText {
       |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) / 65536.0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Staging cardinalities: the clusters/pairs counts reuse the full
+    // near-dup pipeline CTEs (flattened single WITH RECURSIVE list —
+    // DuckDB rejects a WITH inside a derived-table subquery); the
+    // shingle counts fall straight out of the d/sh CTEs.
+    "llm_stage_index" -> {
+      val prefix = dedupClustersSql.substring(0,
+        dedupClustersSql.indexOf("SELECT node AS doc_id"))
+      prefix.trim + ",\n" +
+        """clusters AS (SELECT node, MIN(r) AS cluster_id
+          |             FROM reach GROUP BY node)
+          |SELECT 'dedup_clusters' AS relation,
+          |       (SELECT COUNT(*) FROM clusters) AS n_rows
+          |UNION ALL SELECT 'minhash_neardup_pairs',
+          |       (SELECT COUNT(*) FROM pairs)
+          |UNION ALL SELECT 'shingle_positions',
+          |       (SELECT CAST(COALESCE(SUM(GREATEST(len(t) - 2, 0)), 0)
+          |               AS BIGINT) FROM d)
+          |UNION ALL SELECT 'shingle_set',
+          |       (SELECT COUNT(*) FROM sh)""".stripMargin
+    },
     "llm_dedup_clusters" -> dedupClustersSql,
     // identical clustering through a different distributed algorithm —
     // the oracle is the same recursive-reachability SQL
