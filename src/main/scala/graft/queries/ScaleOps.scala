@@ -131,9 +131,19 @@ object ScaleOps {
     * the round-trip is value-exact. */
   def scanXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = sys.props("java.io.tmpdir") + "/graft_xml_roundtrip"
+    // The events fixture is a single parquet row group, so without a
+    // repartition ONE task would serialize the whole table to XML and
+    // one task would parse it back — 23.5 s at sf0.1, the slowest
+    // query in the suite. Text serialization is CPU-bound and fully
+    // under engine control: fan out so N writers produce N files and
+    // the read side gets N splits. (The binary ORC/CSV round-trips
+    // stay single-file — their serializers are IO-cheap and a 1-file
+    // layout is itself a coverage point.)
+    val fanout = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("value"))
+      .repartition(fanout)
       .write.mode("overwrite").format("xml")
       .option("rowTag", "event").save(path)
     s.read.format("xml").option("rowTag", "event").load(path)
