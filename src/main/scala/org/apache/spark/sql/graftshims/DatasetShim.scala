@@ -18,4 +18,14 @@ object DatasetShim {
   /** Column → Catalyst Expression (Spark 4 made Column node-based; the
     * converter lives behind private[sql]). */
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The persisted RDDs backing a localCheckpoint-ed DataFrame (the
+    * `LogicalRDD` leaves of its analyzed plan). `Dataset.unpersist`
+    * only consults the cache manager, which does not track checkpoint
+    * blocks — actually freeing them requires `unpersist` on the exact
+    * RDD that was marked persistent. */
+  def checkpointedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
