@@ -283,14 +283,21 @@ private[sources] class TickMicroBatchStream(rows: Long, parts: Int,
     // Trigger.AvailableNow and user maxRows configs arrive here as
     // ReadAllAvailable / ReadMaxRows / a composite of both, and a
     // source that silently re-applies its default pacing breaks their
-    // contract. Composite takes the most restrictive member; MinRows
-    // is a lower bound — below it the batch doesn't trigger at all
-    // (maxTriggerDelayMs escape hatch not modeled by this source).
+    // contract. Composite takes the most restrictive member. MinRows
+    // deferral (wait until >= minRows have accumulated) exists to
+    // batch up a trickle on a source that keeps GROWING; this source
+    // is a bounded replay whose ceiling never moves, so a backlog
+    // below minRows is by definition the final tail — deferring it
+    // would stall the query forever (the driver-side maxTriggerDelayMs
+    // escape hatch cannot rescue a source that keeps returning the
+    // start offset). Defer only while the backlog could still grow;
+    // once the remaining rows are the last there will ever be, drain.
     def cap(l: ReadLimit): Long = l match {
       case m: ReadMaxRows      => m.maxRows()
       case _: ReadAllAvailable => Long.MaxValue
       case m: ReadMinRows      =>
-        if (avail < m.minRows()) 0L else Long.MaxValue
+        if (avail < m.minRows() && s + avail < ceiling) 0L
+        else Long.MaxValue
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
       case _                   => batchRows
     }

@@ -38,10 +38,14 @@ class TickReadLimitSpec extends AnyFunSuite {
     assert(next(stream(), 95000, ReadLimit.maxRows(10000)) === 100000L)
   }
 
-  test("ReadMinRows below the backlog defers the batch entirely") {
+  test("ReadMinRows cannot stall a bounded stream's final tail") {
     val s = stream(rows = 1000L)
-    // 1000 available < 5000 minimum → offset must not advance.
-    assert(next(s, 0, ReadLimit.minRows(5000, 60000L)) === 0L)
+    // 1000 available < 5000 minimum, but this source's ceiling never
+    // moves: the backlog can never grow to minRows, so deferring here
+    // would return the start offset FOREVER and stall the query (the
+    // driver-side maxTriggerDelayMs escape hatch can't rescue a source
+    // that never advances). The final tail must drain.
+    assert(next(s, 0, ReadLimit.minRows(5000, 60000L)) === 1000L)
     // backlog >= minimum → drain (no max member in this limit).
     assert(next(s, 0, ReadLimit.minRows(500, 60000L)) === 1000L)
   }
