@@ -30,6 +30,21 @@ object StatefulOps {
 
   val threshold = 3.0
 
+  /** Double value → integer cents, half-AWAY-FROM-ZERO on the double
+    * product `v*100` — the same double the oracle's DuckDB
+    * `ROUND(value*100)` / DECIMAL(18,2) cast sees. BigDecimal makes
+    * the tie decision on the EXACT binary value of that product: the
+    * earlier `floor(x + 0.5)` idiom had the classic artifact where
+    * the +0.5 addition itself rounds (x = 0.49999999999999994 →
+    * x+0.5 == 1.0 → floor says 1 though x is below the midpoint).
+    * `math.round` is equally wrong — half-toward-positive-infinity
+    * diverges on negative half-cents (-0.005 → 0 vs -1). HALF_UP on
+    * a BigDecimal rounds ties away from zero, the rule both engines
+    * share. */
+  private[streaming] def toCents(v: Double): Long =
+    new java.math.BigDecimal(v * 100d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
   private def step(userId: Long, events: Iterator[Ev],
       state: GroupState[RunStats]): Iterator[Anomaly] = {
     var st = state.getOption.getOrElse(RunStats(0L, 0L))
@@ -42,12 +57,7 @@ object StatefulOps {
         if (e.value > mean * threshold)
           out += Anomaly(userId, e.event_id, e.value, mean)
       }
-      // Half-away-from-zero to match the oracle's CAST(value AS
-      // DECIMAL(18,2)) tie rule — math.round is half-up and diverges
-      // on negative half-cents (see CappedBalanceProcessor).
-      val x = e.value * 100d
-      st = RunStats(st.n + 1, st.cents +
-        (if (x >= 0d) math.floor(x + 0.5d) else math.ceil(x - 0.5d)).toLong)
+      st = RunStats(st.n + 1, st.cents + toCents(e.value))
     }
     state.update(st)
     out.iterator
@@ -126,14 +136,7 @@ object StatefulOps {
       var (bal, hits) =
         if (st.exists()) st.get() else (0L, 0L)
       rows.toSeq.sortBy(_.event_id).foreach { e =>
-        // Half-AWAY-FROM-ZERO, pinned to match the oracle's DuckDB
-        // ROUND(value*100). math.round is half-up (toward +inf) and
-        // diverges on negative half-cents (-0.005 → 0 vs -1), so the
-        // parity must not depend on the fixture staying non-negative.
-        val x = e.value * 100d
-        val cents =
-          (if (x >= 0d) math.floor(x + 0.5d) else math.ceil(x - 0.5d)).toLong
-        val next = bal + cents - 10000L
+        val next = bal + toCents(e.value) - 10000L
         if (next < 0) { bal = 0L; hits += 1 } else bal = next
       }
       st.update((bal, hits))
