@@ -121,8 +121,12 @@ object Analytics {
       .join(broadcast(uni.select(col("tok").as("w2"), col("nu").as("nu2"))),
         "w2")
       .select(col("w1"), col("w2"), col("n"),
-        // Raw: every input is an integer ratio (bit-identical) and one
-        // LN — same IEEE ops both engines; no per-engine rounding.
+        // Raw: the integer ratios are IEEE-exact (bit-identical), and
+        // the one LN agrees to a ulp — Math.log (JVM intrinsic) and
+        // libm are each faithfully- but not correctly-rounded. Parity
+        // rests on the harness's round-to-6 canonicalization absorbing
+        // that ulp, NOT on the doubles matching bitwise; a per-engine
+        // round here would re-introduce midpoint risk for no gain.
         expr("LN((n / nb) / ((nu1 / nt) * (nu2 / nt)))").as("pmi"))
       .orderBy(desc("n"), col("w1"), col("w2"))
       .limit(20)

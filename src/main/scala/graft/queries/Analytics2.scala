@@ -336,10 +336,13 @@ object Analytics2 {
 
   /** Skewness / excess kurtosis from raw power sums: l_quantity is
     * integral, so s1..s4 are EXACT integers under any partial-agg
-    * order, and the moment projection is then the same IEEE expression
-    * on both engines — no reliance on either engine's (differing:
-    * population vs sample-corrected) built-in skewness/kurtosis. One
-    * map-side-combinable aggregation pass. */
+    * order, and the moment projection is then the same expression
+    * tree on both engines — no reliance on either engine's (differing:
+    * population vs sample-corrected) built-in skewness/kurtosis. The
+    * rational steps are IEEE-exact; POWER(x, 1.5) is not correctly
+    * rounded on either engine, so the final doubles agree to a ulp
+    * and the harness's round-to-6 canonicalization absorbs the rest.
+    * One map-side-combinable aggregation pass. */
   def aggSkewKurt(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("graft_moments_lineitem")
     s.sql(
