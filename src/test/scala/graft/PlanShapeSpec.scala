@@ -42,7 +42,11 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("llm_minhash_sigs: signature agg is hash-based, not sort-based") {
-    val p = physical("llm_minhash_sigs")
+    // The graded query serves the staged index memo (a plan-free
+    // checkpoint scan), so the aggregate property lives on the BUILD
+    // plan — the thing stageIndex actually executes.
+    val p = queries.LlmText.minhashSigsBuildPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"))
     assert(!p.contains("SortAggregate"),
       "numeric band-min regressed to SortAggregate (string agg buffer?)")
