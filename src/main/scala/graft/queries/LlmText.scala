@@ -1082,13 +1082,25 @@ object LlmText {
       .select(col("doc_id"),
         explode(sequence(col("run_start"),
           col("run_start") + col("run_tokens") - 1)).as("pos"))
+    survivorsAfterCuts(s, dir, dropPos)
+  }
+
+  /** Shared rebuild tail for the span-cut operators: given the
+    * (doc_id, pos) positions to DROP, reassemble every document from
+    * the surviving tokens and report before/after token counts plus
+    * the cleaned-text digest. Survivor tokens re-assemble in position
+    * order: pos is unique within a doc, so array_sort over
+    * struct(pos, tok) is a total, deterministic order and
+    * collect_list's arrival order washes out. Fully-cut docs (absent
+    * from the anti-join survivors) still report, with the
+    * empty-string md5. Linear: one posexplode, one anti equi-join,
+    * one per-doc aggregation. */
+  private def survivorsAfterCuts(s: SparkSession, dir: String,
+      dropPos: DataFrame): DataFrame = {
     val tokPos = docs(s, dir).repartition(fanout(s))
       .select(col("doc_id"),
         posexplode(toks(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    // Survivor tokens, re-assembled in position order: pos is unique
-    // within a doc, so array_sort over struct(pos, tok) is a total,
-    // deterministic order and collect_list's arrival order washes out.
     val rebuilt = tokPos.join(dropPos, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("kp"))
@@ -1096,9 +1108,6 @@ object LlmText {
         size(col("kp")).cast("long").as("n_tokens_after"),
         md5(concat_ws(" ",
           transform(col("kp"), p => p.getField("tok")))).as("cleaned_md5"))
-    // Left join back so fully-deduplicated docs (every token cut —
-    // absent from the anti-join survivors) still report, with the
-    // empty-string md5 the previous array-rebuild emitted for them.
     docs(s, dir).repartition(fanout(s))
       .select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens_before"))
@@ -1106,6 +1115,50 @@ object LlmText {
       .select(col("doc_id"), col("n_tokens_before"),
         coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
         coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
+  /** EXACT duplicated-substring cut (Lee et al. 2022 semantics) —
+    * upgrading [[substringRuns]]'s approximation to an exact coverage
+    * decision with no suffix structure: a token position must be cut
+    * iff it lies inside SOME substring of ≥ L tokens that occurs ≥ 2
+    * times in the corpus (within-doc repeats included — a doc pasting
+    * its own boilerplate twice duplicates it just as surely as two
+    * docs sharing it). Key fact making this exact WITHOUT a suffix
+    * array: every length-L window of a duplicated ≥L-token substring
+    * is itself duplicated, and conversely a duplicated L-window IS a
+    * duplicated substring of length L — so "covered by a duplicated
+    * exactly-L window" ≡ "inside a duplicated ≥L substring". The
+    * cross-doc 3-gram formulation above over-merges mosaics (each
+    * 3-gram duplicated somewhere, the union nowhere) and misses
+    * within-doc repeats; this one does neither.
+    *
+    * 100 TB shape — linear, no pairwise step, no suffix array: (1)
+    * position-stamped L-token windows (slice+join per window, L=5
+    * constant work per token); (2) occurrence count ≥ 2 on the int64
+    * window hash (one map-side-combinable shuffle); (3) explode each
+    * duplicated start to its L covered positions (≤ L× the dup-start
+    * count); (4) the shared anti-join rebuild. The Lee et al. suffix
+    * array earns its complexity only when L is large enough that
+    * length-L windows get expensive (they used 50-token spans over
+    * BPE ids); at the window sizes a token-level pipeline uses, the
+    * window-count formulation is exact and embarrassingly parallel. */
+  def substringExact(s: SparkSession, dir: String): DataFrame = {
+    val L = 5
+    val win = docs(s, dir).repartition(fanout(s))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - L),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(L)))))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("w")).as("wh"))
+    val dupW = win.groupBy("wh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("wh")
+    val cut = win.join(dupW, Seq("wh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + L - 1)).as("pos"))
+    survivorsAfterCuts(s, dir, cut)
   }
 
   /** MinHash-banding RECALL against exhaustive ground truth — the
@@ -1200,6 +1253,7 @@ object LlmText {
     "llm_minhash_recall" -> (minhashRecall _),
     "llm_substring_runs" -> (substringRuns _),
     "llm_substring_dedup" -> (substringDedupApply _),
+    "llm_substring_exact" -> (substringExact _),
     "text_containment" -> (textContainment _),
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_sigs" -> (minhashSignatures _),
@@ -1734,6 +1788,37 @@ object LlmText {
         |  len(kt) AS n_tokens_after,
         |  -- array_to_string([]) is NULL in DuckDB but '' under Spark's
         |  -- concat_ws — pin the fully-deduplicated-doc case
+        |  md5(COALESCE(array_to_string(kt, ' '), '')) AS cleaned_md5
+        |FROM kept""".stripMargin,
+    // Exact window-coverage cut: duplicated L=5 windows by TOTAL
+    // occurrence count (within-doc repeats count), each dup start
+    // covering its 5 positions; rebuild mirrors llm_substring_dedup.
+    "llm_substring_exact" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |px AS (SELECT doc_id, t,
+        |         CAST(unnest(range(greatest(len(t) - 4, 0))) AS BIGINT) AS pos
+        |       FROM d),
+        |g AS (SELECT doc_id, pos,
+        |        t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' ||
+        |        t[pos+4] || ' ' || t[pos+5] AS w
+        |      FROM px),
+        |dup AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM g GROUP BY w)
+        |        WHERE c > 1),
+        |cut AS (SELECT DISTINCT doc_id, g.pos + o.off AS cpos
+        |        FROM g JOIN dup USING (w)
+        |        CROSS JOIN (SELECT CAST(unnest(range(5)) AS BIGINT) AS off) o),
+        |dl AS (SELECT doc_id, list(cpos) AS dps FROM cut GROUP BY doc_id),
+        |k AS (SELECT d.doc_id, d.t,
+        |        COALESCE(dl.dps, CAST([] AS BIGINT[])) AS dps
+        |      FROM d LEFT JOIN dl USING (doc_id)),
+        |kept AS (SELECT doc_id, len(t) AS n_before,
+        |           list_filter(list_transform(range(len(t)),
+        |             i -> CASE WHEN NOT list_contains(dps, i)
+        |                       THEN t[i+1] END),
+        |             x -> x IS NOT NULL) AS kt
+        |         FROM k)
+        |SELECT doc_id, n_before AS n_tokens_before,
+        |  len(kt) AS n_tokens_after,
         |  md5(COALESCE(array_to_string(kt, ' '), '')) AS cleaned_md5
         |FROM kept""".stripMargin,
     "llm_minhash_recall" ->

@@ -25,7 +25,8 @@ class EmptyInputSpec extends SparkTestBase {
     "q1_agg", "join_inner_star", "win_rank", "win_rolling_zscore",
     "events_sessionize", "llm_exact_dedup", "llm_minhash_sigs",
     "llm_inverted_index", "setop_union_all", "join_asof_nearest",
-    "llm_substring_runs", "llm_substring_dedup", "mm_decode_png")
+    "llm_substring_runs", "llm_substring_dedup", "llm_substring_exact",
+    "mm_decode_png")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -27,7 +27,7 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "stream_tws_capped_sum",
     // round-8: span-level substring dedup (gaps-and-islands over a
     // shuffled dup-shingle join — classic partition-order territory)
-    "llm_substring_runs", "llm_substring_dedup",
+    "llm_substring_runs", "llm_substring_dedup", "llm_substring_exact",
     // round-9: real-codec image round-trip (mapPartitions batching
     // must not leak partition boundaries into decoded stats)
     "mm_decode_png")
