@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.ScaleOps.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Analytics2.queries ++
+      graft.queries.Analytics3.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.queries.ScaleOps.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.Analytics2.oracle ++
+      graft.queries.Analytics3.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -26,7 +26,12 @@ class EmptyInputSpec extends SparkTestBase {
     "events_sessionize", "llm_exact_dedup", "llm_minhash_sigs",
     "llm_inverted_index", "setop_union_all", "join_asof_nearest",
     "llm_substring_runs", "llm_substring_dedup", "llm_substring_exact",
-    "mm_decode_png")
+    "mm_decode_png",
+    // round-9 widening (llm_zipf excluded: a global aggregate returns
+    // its one all-null row on empty input, on both engines)
+    "join_cross", "win_ewma", "graph_pagerank", "llm_edit_distance",
+    // (agg_chi2 excluded for the same global-aggregate reason)
+    "agg_ttest_welch", "join_asof_tolerance")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>
