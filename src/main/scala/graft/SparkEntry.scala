@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Analytics2.queries ++
       graft.queries.Analytics3.queries ++
+      graft.queries.Analytics4.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.queries.Analytics.oracle ++
       graft.queries.Analytics2.oracle ++
       graft.queries.Analytics3.oracle ++
+      graft.queries.Analytics4.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
