@@ -75,20 +75,24 @@ object Analytics4 {
     s.sql(ksSql("graft_ks_events"))
   }
 
+  // Grand totals come from unbounded window sums over the SAME
+  // per-value relation as the CDFs — a separate totals CTE would make
+  // Spark (which inlines CTE references) derive g from a SECOND raw
+  // scan of the events table; this form scans once.
   private def ksSql(table: String): String =
     s"""WITH p AS (SELECT value, CAST(event_type = 'purchase' AS INT) AS ia
        |           FROM $table WHERE event_type IN ('purchase', 'click')),
        |g AS (SELECT value, sum(ia) AS ca, count(*) - sum(ia) AS cb
        |      FROM p GROUP BY value),
-       |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
        |c AS (SELECT sum(ca) OVER (ORDER BY value) AS cuma,
-       |             sum(cb) OVER (ORDER BY value) AS cumb FROM g)
-       |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
-       |  CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE)
-       |    / (t.na * t.nb) AS d_stat,
-       |  CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE) / (t.na * t.nb)
-       |    * sqrt(CAST(t.na AS DOUBLE) * t.nb / (t.na + t.nb)) AS ks_z
-       |FROM c CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin
+       |             sum(cb) OVER (ORDER BY value) AS cumb,
+       |             sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM g)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+       |    / (na * nb) AS d_stat,
+       |  CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (na * nb)
+       |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) AS ks_z
+       |FROM c GROUP BY na, nb""".stripMargin
 
   /** Mann-Whitney U (rank-sum) between purchase and click values, with
     * the standard tie-corrected normal approximation. Average ranks
@@ -214,20 +218,26 @@ object Analytics4 {
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     Seq("lineitem", "orders", "customer", "supplier", "nation")
       .foreach(n => t(s, dir, n).createOrReplaceTempView("graft_tri_" + n))
+    // Materialize the undirected pair-flow relation (≤ |nations|² rows)
+    // before the census: Spark inlines CTE references, so writing this
+    // as one statement re-runs the heavy 4-table star join once per
+    // edge alias (3×). Checkpointing caps the distributed pass at one
+    // execution; the census runs on the tiny in-memory relation.
     s.sql(
-      """WITH pairs AS (
-        |  SELECT c.c_nationkey AS na, s.s_nationkey AS nb, count(*) AS cnt
-        |  FROM graft_tri_lineitem l
-        |    JOIN graft_tri_orders o ON l.l_orderkey = o.o_orderkey
-        |    JOIN graft_tri_customer c ON o.o_custkey = c.c_custkey
-        |    JOIN graft_tri_supplier s ON l.l_suppkey = s.s_suppkey
-        |  WHERE c.c_nationkey <> s.s_nationkey
-        |  GROUP BY 1, 2),
-        |und AS (SELECT least(na, nb) AS a, greatest(na, nb) AS b,
-        |               sum(cnt) AS cnt
-        |        FROM pairs GROUP BY 1, 2),
-        |tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM und),
-        |edges AS (SELECT a, b FROM und CROSS JOIN tot
+      """SELECT least(na, nb) AS a, greatest(na, nb) AS b, sum(cnt) AS cnt
+        |FROM (SELECT c.c_nationkey AS na, s.s_nationkey AS nb, count(*) AS cnt
+        |      FROM graft_tri_lineitem l
+        |        JOIN graft_tri_orders o ON l.l_orderkey = o.o_orderkey
+        |        JOIN graft_tri_customer c ON o.o_custkey = c.c_custkey
+        |        JOIN graft_tri_supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE c.c_nationkey <> s.s_nationkey
+        |      GROUP BY 1, 2)
+        |GROUP BY 1, 2""".stripMargin)
+      .localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_tri_und")
+    s.sql(
+      """WITH tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM graft_tri_und),
+        |edges AS (SELECT a, b FROM graft_tri_und CROSS JOIN tot
         |          WHERE cnt * np * 100 > 115 * t),
         |tri AS (SELECT e1.a, e1.b, e2.b AS c
         |        FROM edges e1 JOIN edges e2 ON e2.a = e1.b
