@@ -21,14 +21,14 @@ object StreamingOps {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
-  /** The events table as a file stream (same nanos→micros conversion as
+  /** The events table as a file stream (same ts normalization as
     * Tables.load; schema discovered from the parquet footer). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.core.Tables.normalizedTs(raw))
   }
 
   /** Tumbling 1-hour windows with a 10-minute watermark. */
