@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Analytics2.queries ++
       graft.queries.Analytics3.queries ++
       graft.queries.Analytics4.queries ++
+      graft.queries.Analytics5.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.queries.Analytics2.oracle ++
       graft.queries.Analytics3.oracle ++
       graft.queries.Analytics4.oracle ++
+      graft.queries.Analytics5.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

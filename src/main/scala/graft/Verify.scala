@@ -11,13 +11,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
-    // Optional third arg: substring filter over query names, for fast
-    // targeted local oracle checks. The driver always passes two args.
-    val nameFilter = args.drop(2).headOption
+    // Optional third arg: comma-separated substring filters over query
+    // names (any-match), for fast targeted local oracle checks. The
+    // driver always passes two args.
+    val nameFilter = args.drop(2).headOption.map(_.split(',').toSeq)
     val spark = graft.core.GraftSession.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => nameFilter.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
