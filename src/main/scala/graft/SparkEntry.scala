@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Analytics3.queries ++
       graft.queries.Analytics4.queries ++
       graft.queries.Analytics5.queries ++
+      graft.queries.Analytics6.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.queries.Analytics3.oracle ++
       graft.queries.Analytics4.oracle ++
       graft.queries.Analytics5.oracle ++
+      graft.queries.Analytics6.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -283,6 +283,30 @@ object LlmVectors {
       .unionByName(eval("ivf", annIvf(s, dir)))
   }
 
+  /** NDCG@3 of the LSH index's ranking against the exact cosine
+    * ranking, per query: graded relevance 4−exact_rank for the exact
+    * top-3 (3/2/1), zero otherwise; DCG discounts by log2(position+1)
+    * over the LSH top-3; IDCG is the constant perfect-ordering sum.
+    * Recall (llm_ann_recall) says how much of the truth the index
+    * finds; NDCG says whether it ORDERS what it finds correctly.
+    * Gains stay integer; the ≤3-term discounted sum and the final
+    * ratio are the only floating steps (ulp-level engine drift,
+    * absorbed by canonicalization). */
+  def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val idcg = expr("3.0D / log2(2.0D) + 2.0D / log2(3.0D) + 1.0D / log2(4.0D)")
+    val rel = cosineTopk(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id"), (lit(4L) - col("rnk")).as("rel"))
+    val dcg = annLsh(s, dir).select(col("q_id"), col("vec_id"), col("rnk"))
+      .join(rel, Seq("q_id", "vec_id"))
+      .groupBy("q_id")
+      .agg(sum(col("rel") / log2(col("rnk") + lit(1L))).as("dcg_raw"))
+    emb(s, dir).filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("dcg_raw"), lit(0.0)).as("dcg"),
+        idcg.as("idcg"),
+        (coalesce(col("dcg_raw"), lit(0.0)) / idcg).as("ndcg"))
+  }
+
   /** SemDeDup-shaped semantic dedup: near-dup cosine pairs are only
     * sought WITHIN a semantic block (here the `label` column — in
     * production, the k-means cluster id that `llm_kmeans_train`
@@ -346,6 +370,7 @@ object LlmVectors {
     "llm_feature_standardize" -> (featureStandardize _),
     "llm_semdedup" -> (semDedup _),
     "llm_ann_recall" -> (annRecall _),
+    "llm_ann_ndcg" -> (annNdcg _),
     "llm_kmeans_train" -> (kmeansTrain _),
     "llm_vector_norms" -> (vectorNorms _),
     "llm_ann_ivf" -> (annIvf _),
@@ -512,6 +537,28 @@ object LlmVectors {
          |     ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id)
          |    / CAST(n_exact AS DOUBLE)
          |FROM ne""".stripMargin,
+    "llm_ann_ndcg" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id < 10),
+         |xs AS (SELECT q_id, vec_id,
+         |         ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |       FROM q CROSS JOIN e WHERE vec_id <> q_id),
+         |xr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM xs),
+         |rel AS (SELECT q_id, vec_id, 4 - rnk AS rel FROM xr WHERE rnk <= 3),
+         |ls AS (SELECT q_id, vec_id,
+         |         ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |       FROM q JOIN e ON bkt = q_bkt AND vec_id <> q_id),
+         |lr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM ls),
+         |hit AS (SELECT l.q_id, SUM(r.rel / log2(l.rnk + 1)) AS dcg_raw
+         |        FROM lr l JOIN rel r ON r.q_id = l.q_id AND r.vec_id = l.vec_id
+         |        WHERE l.rnk <= 3 GROUP BY l.q_id)
+         |SELECT q.q_id, COALESCE(hit.dcg_raw, 0.0) AS dcg,
+         |  3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0) AS idcg,
+         |  COALESCE(hit.dcg_raw, 0.0)
+         |    / (3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)) AS ndcg
+         |FROM q LEFT JOIN hit ON hit.q_id = q.q_id""".stripMargin,
     "llm_ann_ivf" -> ivfSql(1),
     "llm_ann_ivf2" -> ivfSql(2),
     "llm_ann_pq" ->
