@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Analytics4.queries ++
       graft.queries.Analytics5.queries ++
       graft.queries.Analytics6.queries ++
+      graft.queries.Analytics7.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.queries.Analytics4.oracle ++
       graft.queries.Analytics5.oracle ++
       graft.queries.Analytics6.oracle ++
+      graft.queries.Analytics7.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -307,6 +307,26 @@ object LlmVectors {
         (coalesce(col("dcg_raw"), lit(0.0)) / idcg).as("ndcg"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09; k=60) of the
+    * LSH and IVF rankings: score(v) = Σ_m 1/(60 + rank_m(v)) over the
+    * two approximate indexes, re-ranked to a fused top-3 per query —
+    * the standard way a retrieval stack combines heterogeneous
+    * rankers without score calibration. Scores are fixed two-term
+    * expressions over integer ranks (not aggregations), so the fused
+    * order is engine-identical; ties break on vec_id. */
+  def annRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val lsh = annLsh(s, dir).select(col("q_id"), col("vec_id"), col("rnk").as("lr"))
+    val ivf = annIvf(s, dir).select(col("q_id"), col("vec_id"), col("rnk").as("ir"))
+    val fused = lsh.join(ivf, Seq("q_id", "vec_id"), "full_outer")
+      .select(col("q_id"), col("vec_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("lr")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("ir")), lit(0.0))).as("rrf_score"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf_score").desc, col("vec_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("rrf_score"))
+  }
+
   /** SemDeDup-shaped semantic dedup: near-dup cosine pairs are only
     * sought WITHIN a semantic block (here the `label` column — in
     * production, the k-means cluster id that `llm_kmeans_train`
@@ -371,6 +391,7 @@ object LlmVectors {
     "llm_semdedup" -> (semDedup _),
     "llm_ann_recall" -> (annRecall _),
     "llm_ann_ndcg" -> (annNdcg _),
+    "llm_rank_fusion" -> (annRankFusion _),
     "llm_kmeans_train" -> (kmeansTrain _),
     "llm_vector_norms" -> (vectorNorms _),
     "llm_ann_ivf" -> (annIvf _),
@@ -559,6 +580,48 @@ object LlmVectors {
          |  COALESCE(hit.dcg_raw, 0.0)
          |    / (3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)) AS ndcg
          |FROM q LEFT JOIN hit ON hit.q_id = q.q_id""".stripMargin,
+    "llm_rank_fusion" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id < 10),
+         |ls AS (SELECT q_id, vec_id,
+         |         ${cosSql.format("qv", "v", "qv", "qv", "v", "v")} AS sim_raw
+         |       FROM q JOIN e ON bkt = q_bkt AND vec_id <> q_id),
+         |lr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM ls),
+         |lsh3 AS (SELECT q_id, vec_id, rnk FROM lr WHERE rnk <= 3),
+         |iflat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |            unnest(embedding) AS v FROM embeddings),
+         |icent AS (SELECT label, pos,
+         |            CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+         |          FROM iflat GROUP BY label, pos),
+         |icarr AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+         |          FROM icent GROUP BY label),
+         |ia AS (SELECT q_id, qv, c_label,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+         |           ${cosSql.format("qv", "centroid", "qv", "qv", "centroid", "centroid")} DESC,
+         |           c_label) AS rn
+         |       FROM q CROSS JOIN icarr),
+         |ip AS (SELECT q_id, qv, c_label AS probe_label FROM ia WHERE rn <= 1),
+         |ie AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |isq AS (SELECT p.q_id, ie.vec_id,
+         |          ${cosSql.format("p.qv", "ie.v", "p.qv", "p.qv", "ie.v", "ie.v")} AS sim_raw
+         |        FROM ip p JOIN ie ON ie.label = p.probe_label
+         |         AND ie.vec_id <> p.q_id),
+         |ir AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY sim_raw DESC, vec_id) AS rnk FROM isq),
+         |ivf3 AS (SELECT q_id, vec_id, rnk FROM ir WHERE rnk <= 3),
+         |f AS (SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+         |        COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         |        COALESCE(1.0 / (60.0 + a.rnk), 0.0)
+         |          + COALESCE(1.0 / (60.0 + b.rnk), 0.0) AS rrf_score
+         |      FROM lsh3 a FULL JOIN ivf3 b
+         |        ON a.q_id = b.q_id AND a.vec_id = b.vec_id),
+         |rr AS (SELECT q_id, vec_id, rrf_score,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id
+         |           ORDER BY rrf_score DESC, vec_id) AS rnk FROM f)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, rrf_score
+         |FROM rr WHERE rnk <= 3""".stripMargin,
     "llm_ann_ivf" -> ivfSql(1),
     "llm_ann_ivf2" -> ivfSql(2),
     "llm_ann_pq" ->
