@@ -31,7 +31,14 @@ class EmptyInputSpec extends SparkTestBase {
     // its one all-null row on empty input, on both engines)
     "join_cross", "win_ewma", "graph_pagerank", "llm_edit_distance",
     // (agg_chi2 excluded for the same global-aggregate reason)
-    "agg_ttest_welch", "join_asof_tolerance")
+    "agg_ttest_welch", "join_asof_tolerance",
+    // round-9 batches 4-6 (the global-aggregate shapes — theil_sen,
+    // anova, levene, gumbel, runs_test, assortativity — are excluded
+    // per the same one-null-row rule)
+    "win_cusum", "win_kalman", "text_readability", "text_sentiment",
+    "win_rsi", "win_bollinger", "win_drawdown", "llm_bpe_pairs",
+    "agg_market_basket", "graph_degree_dist", "agg_benford",
+    "events_interarrival", "llm_ann_ndcg", "llm_rank_fusion")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

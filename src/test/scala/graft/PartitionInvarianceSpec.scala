@@ -36,7 +36,14 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "graph_pagerank", "win_ewma", "llm_edit_distance",
     // string-valued as-of output; the moment-based tests are excluded
     // (var_samp partial-merge order shifts doubles below canon)
-    "join_asof_tolerance")
+    "join_asof_tolerance",
+    // round-9 batches 4-6: sequential folds (CUSUM/Kalman), the
+    // calendar-quadratic median, decimal running drawdown, blocked
+    // pair census, (user,type)-keyed gap stats, total-order BPE
+    // census, and the fused ranking
+    "win_cusum", "win_kalman", "agg_theil_sen", "win_drawdown",
+    "agg_market_basket", "events_interarrival", "llm_bpe_pairs",
+    "llm_rank_fusion")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
