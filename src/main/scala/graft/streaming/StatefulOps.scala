@@ -144,6 +144,47 @@ object StatefulOps {
     }
   }
 
+  case class CusumRow(user_id: Long, n_events: Long, cusum_cents: Long,
+      peak_cents: Long, n_alarms: Long)
+
+  /** Streaming CUSUM changepoint detector — the stateful twin of the
+    * batch [[graft.queries.Analytics5.winCusum]] fold, in EXACT
+    * integer cents (reference value 55.00 → 5500, alarm threshold
+    * 250.00 → 25000, reset-on-alarm): S ← max(0, S + cents(x) − 5500),
+    * alarm and reset when S crosses 25000. Like its tws siblings the
+    * stream is keyed by arrival order (event_id); state is four longs
+    * per key, so a billion keys is a billion fixed-width entries.
+    * Integer state makes every emitted column bit-exact against the
+    * recursive-CTE oracle. */
+  class CusumProcessor extends StatefulProcessor[Long, Ev, CusumRow] {
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("cusum",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[CusumRow] = {
+      var (n, s, m, a) = if (st.exists()) st.get() else (0L, 0L, 0L, 0L)
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        val s1 = math.max(0L, s + toCents(e.value) - 5500L)
+        m = math.max(m, s1)
+        if (s1 > 25000L) { a += 1L; s = 0L } else s = s1
+        n += 1L
+      }
+      st.update((n, s, m, a))
+      Iterator.single(CusumRow(key, n, s, m, a))
+    }
+  }
+
+  /** Batch + streaming unified, like `newHighs`. */
+  def cusum(events: Dataset[Ev]): Dataset[CusumRow] = {
+    events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
+    implicit val outEnc: Encoder[CusumRow] = Encoders.product[CusumRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new CusumProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch mode emits one final row per key; a streaming run emits a
     * row per (key, batch) — the graded query runs batch. */
   def cappedBalance(events: Dataset[Ev]): Dataset[Balance] = {
@@ -174,6 +215,7 @@ object StatefulOps {
     "stream_tws_new_highs" -> ((s, d) => newHighs(eventsTyped(s, d)).toDF()),
     "stream_tws_capped_sum" -> ((s, d) =>
       cappedBalance(eventsTyped(s, d)).toDF()),
+    "stream_tws_cusum" -> ((s, d) => cusum(eventsTyped(s, d)).toDF()),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
       // doubles (integer-cent sum, one division), and an engine-side
@@ -205,6 +247,30 @@ object StatefulOps {
         |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         |SELECT user_id, bal AS balance_cents, hits AS n_floor_hits
         |FROM (SELECT user_id, rn, bal, hits,
+        |        MAX(rn) OVER (PARTITION BY user_id) AS mx FROM r)
+        |WHERE rn = mx""".stripMargin,
+    "stream_tws_cusum" ->
+      """WITH RECURSIVE
+        |e AS (SELECT user_id,
+        |        CAST(ROUND(value * 100) AS BIGINT) - 5500 AS delta,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id) AS rn
+        |      FROM events),
+        |r(user_id, rn, s, m, a) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM e)
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN GREATEST(r.s + e.delta, 0) > 25000 THEN 0
+        |         ELSE GREATEST(r.s + e.delta, 0) END,
+        |    GREATEST(r.m, GREATEST(r.s + e.delta, 0)),
+        |    r.a + CASE WHEN GREATEST(r.s + e.delta, 0) > 25000
+        |               THEN 1 ELSE 0 END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, CAST(mx AS BIGINT) AS n_events, s AS cusum_cents,
+        |       m AS peak_cents, a AS n_alarms
+        |FROM (SELECT user_id, rn, s, m, a,
         |        MAX(rn) OVER (PARTITION BY user_id) AS mx FROM r)
         |WHERE rn = mx""".stripMargin,
     "stream_tws_new_highs" ->

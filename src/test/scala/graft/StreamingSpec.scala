@@ -89,6 +89,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CUSUM final state equals the batch fold") {
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val streamEv = StreamingOps.eventsStream(spark, sf)
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("value"))
+        .as[StatefulOps.Ev]
+      val q = StatefulOps.cusum(streamEv).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_tws_cusum").start()
+      try {
+        q.processAllAvailable()
+        // a streaming run emits one row per (key, batch); the FINAL row
+        // per key (largest n_events) must equal the batch fold
+        val streamed = spark.table("graft_tws_cusum").collect()
+          .groupBy(_.getAs[Long]("user_id"))
+          .map { case (_, rows) => rows.maxBy(_.getAs[Long]("n_events")) }
+          .map(_.mkString("|")).toSet
+        val batch = canon(StatefulOps.cusum(
+          StatefulOps.eventsTyped(spark, sf)).toDF())
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join: signups joined to later errors per user") {
     import org.apache.spark.sql.functions._
     def side(tpe: String, prefix: String) =
