@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Analytics5.queries ++
       graft.queries.Analytics6.queries ++
       graft.queries.Analytics7.queries ++
+      graft.queries.Analytics8.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.queries.Analytics5.oracle ++
       graft.queries.Analytics6.oracle ++
       graft.queries.Analytics7.oracle ++
+      graft.queries.Analytics8.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -16,7 +16,9 @@ import graft.core.Tables
   *     counts) until a single final division, so both engines agree
   *     bit-for-bit before canonicalization.
   *   - `agg_theil_sen` pins the daily revenue series through
-  *     DECIMAL(38,18) (order-invariant sums); every pairwise slope is
+  *     DECIMAL(18,2) (exact 2-decimal sums whose unscaled values fit
+  *     a double, so BOTH engines' decimal→double casts are exact —
+  *     at scale 18 DuckDB's cast can sit one ulp off); every pairwise slope is
   *     then one identical IEEE divide per pair, and both medians pick
   *     the explicit middle elements by row_number under INTEGER
   *     division (Spark `div`, DuckDB `//` — plain `/` is fractional
@@ -117,7 +119,7 @@ object Analytics5 {
     t(s, dir, "orders").createOrReplaceTempView("graft_ts_orders")
     s.sql(
       """SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS x,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38, 18))) AS DOUBLE) AS y
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |FROM graft_ts_orders GROUP BY 1""".stripMargin)
       .localCheckpoint(eager = true)
       .createOrReplaceTempView("graft_ts_daily")
@@ -270,7 +272,7 @@ object Analytics5 {
     "graph_degree_dist" -> degreeSql("lineitem"),
     "agg_theil_sen" ->
       """WITH daily AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
-        |                 CAST(sum(CAST(o_totalprice AS DECIMAL(38, 18))) AS DOUBLE) AS y
+        |                 CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |               FROM orders GROUP BY 1),
         |p AS (SELECT (b.y - a.y) / (b.x - a.x) AS slope
         |      FROM daily a JOIN daily b ON b.x > a.x),

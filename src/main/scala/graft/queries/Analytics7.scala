@@ -95,7 +95,7 @@ object Analytics7 {
 
   /** Maximum drawdown of each user's synthetic P&L curve (per-event
     * P&L = value − 50, a mixed-sign series on this fixture; on a real
-    * price table the diffs would be the P&L): running DECIMAL(38,18)
+    * price table the diffs would be the P&L): running DECIMAL(18,2)
     * total, running peak, and the largest peak-to-trough drop — the
     * risk statistic every stock dashboard reports. Exact: every
     * intermediate stays decimal (running window sums in decimal are
@@ -110,7 +110,7 @@ object Analytics7 {
     s"""WITH c AS (SELECT user_id,
        |             row_number() OVER
        |               (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-       |             sum(CAST(value - 50.0 AS DECIMAL(38, 18))) OVER
+       |             sum(CAST(value - 50.0 AS DECIMAL(18, 2))) OVER
        |               (PARTITION BY user_id ORDER BY ts, event_id
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |           FROM $table),
@@ -135,7 +135,7 @@ object Analytics7 {
     t(s, dir, "orders").createOrReplaceTempView("graft_rt_orders")
     s.sql(
       """SELECT CAST(o_orderdate AS DATE) AS d,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38, 18))) AS DOUBLE) AS y
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |FROM graft_rt_orders GROUP BY 1""".stripMargin)
       .localCheckpoint(eager = true)
       .createOrReplaceTempView("graft_rt_daily")
@@ -197,7 +197,7 @@ object Analytics7 {
     "win_drawdown" -> drawdownSql("events"),
     "agg_runs_test" ->
       ("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
-         |                 CAST(sum(CAST(o_totalprice AS DECIMAL(38, 18))) AS DOUBLE) AS y
+         |                 CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
          |               FROM orders GROUP BY 1),
          |""".stripMargin + runsCensus("daily", "//")),
     "llm_bpe_pairs" ->

@@ -58,7 +58,7 @@ class Analytics5Spec extends SparkTestBase {
     val daily = spark.read.parquet(s"$sf/orders.parquet")
       .selectExpr(
         "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS x",
-        "CAST(o_totalprice AS DECIMAL(38,18)) AS y")
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS y")
       .groupBy("x").agg(org.apache.spark.sql.functions.expr("CAST(sum(y) AS DOUBLE)").as("y"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     def medianOf(xs: Array[Double]): Double = {

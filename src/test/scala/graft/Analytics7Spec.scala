@@ -71,7 +71,7 @@ class Analytics7Spec extends SparkTestBase {
           // valueOf (shortest-string repr), matching Spark's
           // double→decimal cast — new JBD(d) would take the full
           // binary expansion and drift at 1e-14
-          val pnl = JBD.valueOf(v - 50.0).setScale(18, RoundingMode.HALF_UP)
+          val pnl = JBD.valueOf(v - 50.0).setScale(2, RoundingMode.HALF_UP)
           cum = cum.add(pnl)
           peak = if (peak == null || cum.compareTo(peak) > 0) cum else peak
           val dd = peak.subtract(cum)
@@ -96,7 +96,7 @@ class Analytics7Spec extends SparkTestBase {
     val Array(row: Row) = q("agg_runs_test").collect()
     val daily = spark.read.parquet(s"$sf/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS d",
-        "CAST(o_totalprice AS DECIMAL(38,18)) AS y")
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS y")
       .groupBy("d").agg(org.apache.spark.sql.functions.expr("CAST(sum(y) AS DOUBLE)").as("y"))
       .collect().map(r => (r.getDate(0).toString, r.getDouble(1))).sortBy(_._1)
     val ys = daily.map(_._2)
