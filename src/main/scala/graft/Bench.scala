@@ -48,7 +48,11 @@ object Bench {
     "join_bloom", "llm_ann_pq", "llm_segment_dedup", "mm_binary_ingest",
     "scan_dsv2_agg", "sql_recursive_walk", "stream_tws_new_highs",
     "join_asof_nearest", "stream_dsv2", "llm_minhash_recall",
-    "llm_stage_index")
+    "llm_stage_index",
+    // round-9 session-2 families, one representative each
+    "agg_theil_sen", "win_cusum", "win_rsi", "win_drawdown",
+    "agg_market_basket", "llm_quality_logit", "llm_rank_fusion",
+    "stream_tws_cusum")
 
   /** Keep the final stdout line comfortably inside the collector's
     * 2000-char tail (sbt appends its own "[success] …" trailer). */

@@ -166,11 +166,49 @@ object StockEtl {
         min(col("Price")).as("price_min"),
         max(col("Price")).as("price_max"))
 
+  /** On-balance volume over the reference's own price table: OBV_t =
+    * OBV_{t-1} + sign(price_t − price_{t-1})·vol_t per stock — the
+    * volume-flow indicator a stock warehouse computes right after the
+    * load the reference performs (dump_bigq.py's table is exactly this
+    * shape). Signs are integer; volumes ride DECIMAL(18,2) (the parsed
+    * magnitudes are 2-decimal rationals × 10^{3,6,9}, so the running
+    * sums are exact and the final double cast agrees bit-for-bit on
+    * both engines); null price/vol rows contribute zero rather than
+    * poisoning the running sum. */
+  def etlStockObv(s: SparkSession, dir: String): DataFrame = {
+    lowercased(clean(readRawCsv(s, goldenCsv)))
+      .createOrReplaceTempView("graft_obv_cleaned")
+    s.sql("WITH " + obvCensus("graft_obv_cleaned"))
+  }
+
+  // One bar per (stock, date) FIRST: the raw CSV carries duplicate-date
+  // rows, and a ROWS running sum over an order with ties is
+  // tie-order-dependent — the census consolidates (max price, summed
+  // volume) so the OBV walk has a total order.
+  private def obvCensus(cleaned: String): String =
+    s"""bars AS (SELECT stock_name, date, max(price) AS price,
+       |           sum(CAST(vol AS DECIMAL(18, 2))) AS vol
+       |         FROM $cleaned WHERE date IS NOT NULL
+       |         GROUP BY stock_name, date),
+       |sgn AS (SELECT stock_name, date, price,
+       |  COALESCE((CASE WHEN price > lag(price) OVER
+       |                   (PARTITION BY stock_name ORDER BY date) THEN 1
+       |                 WHEN price < lag(price) OVER
+       |                   (PARTITION BY stock_name ORDER BY date) THEN -1
+       |                 ELSE 0 END) * vol,
+       |           CAST(0 AS DECIMAL(18, 2))) AS dv
+       |  FROM bars)
+       |SELECT stock_name, date, price,
+       |  CAST(sum(dv) OVER (PARTITION BY stock_name ORDER BY date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv
+       |FROM sgn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_stock_clean" -> (etlStockClean _),
     "etl_stock_pipeline" -> (etlStockPipeline _),
     "etl_gapfill" -> (etlGapfill _),
-    "etl_profile" -> (etlProfile _))
+    "etl_profile" -> (etlProfile _),
+    "etl_stock_obv" -> (etlStockObv _))
 
   // The oracle re-runs the cleaning rules in DuckDB over the same CSV.
   private def nullish(c: String) = s"lower(trim($c)) IN ('', 'nan')"
@@ -197,6 +235,9 @@ object StockEtl {
 
   val oracle: Map[String, String] = Map(
     "etl_stock_clean" -> etlSql,
+    "etl_stock_obv" ->
+      (s"""WITH cleaned AS ($etlSql),
+          |""".stripMargin + obvCensus("cleaned")),
     "etl_stock_pipeline" -> etlSql,
     "etl_profile" ->
       s"""WITH cleaned AS ($etlSql)

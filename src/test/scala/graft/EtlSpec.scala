@@ -57,4 +57,41 @@ class EtlSpec extends SparkTestBase {
     val n2 = StockEtl.runPipeline(spark, "/root/reference/stock_data.csv", target).count()
     assert(n1 == 208 && n2 == 208)
   }
+
+  test("etl_stock_obv matches a driver-side walk over consolidated bars") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val cleaned = StockEtl.queries("etl_stock_clean")(spark, "unused")
+      .select("stock_name", "date", "price", "vol").collect()
+      .filter(!_.isNullAt(1))
+    val bars = cleaned.groupBy(r => (r.getString(0), r.getDate(1)))
+      .map { case ((s, d), rows) =>
+        val prices = rows.filter(!_.isNullAt(2)).map(_.getDouble(2))
+        val vols = rows.filter(!_.isNullAt(3)).map(r =>
+          JBD.valueOf(r.getDouble(3)).setScale(2, RoundingMode.HALF_UP))
+        (s, d, if (prices.isEmpty) None else Some(prices.max),
+          if (vols.isEmpty) None else Some(vols.reduce(_.add(_))))
+      }.toSeq
+    val expected = bars.groupBy(_._1).flatMap { case (_, bs) =>
+      val sorted = bs.sortBy(_._2.getTime)
+      var obv = JBD.ZERO; var prev: Option[Double] = None
+      sorted.map { case (s, d, p, v) =>
+        val sign = (prev, p) match {
+          case (Some(a), Some(b)) => java.lang.Double.compare(b, a)
+          case _ => 0
+        }
+        if (sign != 0 && v.isDefined)
+          obv = obv.add(v.get.multiply(JBD.valueOf(sign.toLong)))
+        prev = p // the SQL lag() sees the immediately preceding bar,
+                 // nulls included — no carry-forward
+        (s, d.toString) -> obv.doubleValue
+      }
+    }
+    val got = StockEtl.queries("etl_stock_obv")(spark, "unused").collect()
+    assert(got.length == bars.length)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getDate(1).toString)
+      assert(r.getAs[Double]("obv") == expected(key),
+        s"$key: ${r.getAs[Double]("obv")} vs ${expected(key)}")
+    }
+  }
 }
