@@ -185,11 +185,14 @@ object StockEtl {
   // rows, and a ROWS running sum over an order with ties is
   // tie-order-dependent — the census consolidates (max price, summed
   // volume) so the OBV walk has a total order.
-  private def obvCensus(cleaned: String): String =
+  private def barsCte(cleaned: String): String =
     s"""bars AS (SELECT stock_name, date, max(price) AS price,
        |           sum(CAST(vol AS DECIMAL(18, 2))) AS vol
        |         FROM $cleaned WHERE date IS NOT NULL
-       |         GROUP BY stock_name, date),
+       |         GROUP BY stock_name, date)""".stripMargin
+
+  private def obvCensus(cleaned: String): String =
+    s"""${barsCte(cleaned)},
        |sgn AS (SELECT stock_name, date, price,
        |  COALESCE((CASE WHEN price > lag(price) OVER
        |                   (PARTITION BY stock_name ORDER BY date) THEN 1
@@ -203,12 +206,50 @@ object StockEtl {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv
        |FROM sgn""".stripMargin
 
+  /** MACD(12,26,9) per stock over the consolidated bars: fast/slow
+    * EMAs of price, their difference, and the 9-period signal EMA of
+    * that difference — one sequential fold per stock (the win_holt
+    * contract: both engines replay the identical IEEE sequence; the
+    * DuckDB twin is a recursive CTE because list_reduce mutates
+    * struct accumulators field-by-field). EMAs seed at the first
+    * price; the signal seeds at the first post-seed MACD value.
+    * Null-price bars are excluded — an EMA of nothing is undefined. */
+  def etlStockMacd(s: SparkSession, dir: String): DataFrame = {
+    lowercased(clean(readRawCsv(s, goldenCsv)))
+      .createOrReplaceTempView("graft_macd_cleaned")
+    s.sql(
+      s"""WITH ${barsCte("graft_macd_cleaned")},
+         |series AS (SELECT stock_name,
+         |  transform(array_sort(collect_list(struct(date, price))),
+         |            x -> x.price) AS ps
+         |  FROM bars WHERE price IS NOT NULL GROUP BY stock_name),
+         |f AS (SELECT stock_name, size(ps) AS n_bars,
+         |  aggregate(slice(ps, 2, size(ps) - 1),
+         |    named_struct('e12', ps[0], 'e26', ps[0], 'sig', 0.0D, 'i', 1L),
+         |    (acc, p) -> named_struct(
+         |      'e12', p * (2.0D / 13.0D) + acc.e12 * (11.0D / 13.0D),
+         |      'e26', p * (2.0D / 27.0D) + acc.e26 * (25.0D / 27.0D),
+         |      'sig', CASE WHEN acc.i < 2
+         |             THEN (p * (2.0D / 13.0D) + acc.e12 * (11.0D / 13.0D))
+         |                  - (p * (2.0D / 27.0D) + acc.e26 * (25.0D / 27.0D))
+         |             ELSE ((p * (2.0D / 13.0D) + acc.e12 * (11.0D / 13.0D))
+         |                   - (p * (2.0D / 27.0D) + acc.e26 * (25.0D / 27.0D)))
+         |                  * (2.0D / 10.0D) + acc.sig * (8.0D / 10.0D) END,
+         |      'i', acc.i + 1L)) AS r
+         |  FROM series)
+         |SELECT stock_name, CAST(n_bars AS BIGINT) AS n_bars,
+         |  r.e12 - r.e26 AS macd, r.sig AS signal,
+         |  (r.e12 - r.e26) - r.sig AS histogram
+         |FROM f""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_stock_clean" -> (etlStockClean _),
     "etl_stock_pipeline" -> (etlStockPipeline _),
     "etl_gapfill" -> (etlGapfill _),
     "etl_profile" -> (etlProfile _),
-    "etl_stock_obv" -> (etlStockObv _))
+    "etl_stock_obv" -> (etlStockObv _),
+    "etl_stock_macd" -> (etlStockMacd _))
 
   // The oracle re-runs the cleaning rules in DuckDB over the same CSV.
   private def nullish(c: String) = s"lower(trim($c)) IN ('', 'nan')"
@@ -238,6 +279,31 @@ object StockEtl {
     "etl_stock_obv" ->
       (s"""WITH cleaned AS ($etlSql),
           |""".stripMargin + obvCensus("cleaned")),
+    "etl_stock_macd" ->
+      s"""WITH RECURSIVE cleaned AS ($etlSql),
+         |${barsCte("cleaned")},
+         |v AS (SELECT stock_name, price,
+         |        row_number() OVER (PARTITION BY stock_name ORDER BY date) AS i
+         |      FROM bars WHERE price IS NOT NULL),
+         |n AS (SELECT stock_name, max(i) AS n FROM v GROUP BY stock_name),
+         |f(stock_name, i, e12, e26, sig) AS (
+         |  SELECT stock_name, 1, price, price, CAST(0.0 AS DOUBLE)
+         |  FROM v WHERE i = 1
+         |  UNION ALL
+         |  SELECT f.stock_name, f.i + 1,
+         |    v.price * (2.0 / 13.0) + f.e12 * (11.0 / 13.0),
+         |    v.price * (2.0 / 27.0) + f.e26 * (25.0 / 27.0),
+         |    CASE WHEN f.i < 2
+         |      THEN (v.price * (2.0 / 13.0) + f.e12 * (11.0 / 13.0))
+         |           - (v.price * (2.0 / 27.0) + f.e26 * (25.0 / 27.0))
+         |      ELSE ((v.price * (2.0 / 13.0) + f.e12 * (11.0 / 13.0))
+         |            - (v.price * (2.0 / 27.0) + f.e26 * (25.0 / 27.0)))
+         |           * (2.0 / 10.0) + f.sig * (8.0 / 10.0) END
+         |  FROM f JOIN v ON v.stock_name = f.stock_name AND v.i = f.i + 1)
+         |SELECT f.stock_name, CAST(n.n AS BIGINT) AS n_bars,
+         |  f.e12 - f.e26 AS macd, f.sig AS signal,
+         |  (f.e12 - f.e26) - f.sig AS histogram
+         |FROM f JOIN n ON n.stock_name = f.stock_name WHERE f.i = n.n""".stripMargin,
     "etl_stock_pipeline" -> etlSql,
     "etl_profile" ->
       s"""WITH cleaned AS ($etlSql)

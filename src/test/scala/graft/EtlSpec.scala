@@ -94,4 +94,34 @@ class EtlSpec extends SparkTestBase {
         s"$key: ${r.getAs[Double]("obv")} vs ${expected(key)}")
     }
   }
+
+  test("etl_stock_macd matches a driver-side three-smoother fold") {
+    val bars = StockEtl.queries("etl_stock_clean")(spark, "unused")
+      .select("stock_name", "date", "price").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .groupBy(r => (r.getString(0), r.getDate(1)))
+      .map { case ((s, d), rows) => (s, d, rows.map(_.getDouble(2)).max) }
+      .toSeq
+    val expected = bars.groupBy(_._1).map { case (s, bs) =>
+      val ps = bs.sortBy(_._2.getTime).map(_._3)
+      var e12 = ps.head; var e26 = ps.head; var sig = 0.0d; var i = 1L
+      ps.tail.foreach { p =>
+        val n12 = p * (2.0 / 13.0) + e12 * (11.0 / 13.0)
+        val n26 = p * (2.0 / 27.0) + e26 * (25.0 / 27.0)
+        val macd = n12 - n26
+        sig = if (i < 2) macd else macd * (2.0 / 10.0) + sig * (8.0 / 10.0)
+        e12 = n12; e26 = n26; i += 1
+      }
+      s -> ((ps.length.toLong, e12 - e26, sig))
+    }
+    val got = StockEtl.queries("etl_stock_macd")(spark, "unused").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, macd, sig) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_bars") == n)
+      assert(r.getAs[Double]("macd") == macd)
+      assert(r.getAs[Double]("signal") == sig)
+      assert(r.getAs[Double]("histogram") == macd - sig)
+    }
+  }
 }
