@@ -45,18 +45,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
              .reset_index(drop=True)
 
 
-def main(sfdir: str, outdir: str, only: str = None) -> int:
+def fresh_con(sfdir: str):
+    # One connection PER QUERY: a single shared connection accumulates
+    # state across 252 oracle queries and intermittently dies with
+    # "Out of Memory Error: Failed to allocate block" on the heavier
+    # joins (observed on graph_triangles at sf0.1, 1-in-3 full runs).
+    # Fresh connections + an explicit spill directory make the gate's
+    # verdict a property of the QUERY, not of run-accumulated state.
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
             f"FROM read_parquet('{sfdir}/{t}.parquet')")
+    return con
+
+
+def main(sfdir: str, outdir: str, only: str = None) -> int:
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and only not in name:
             continue
+        con = fresh_con(sfdir)
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output written")
@@ -71,6 +84,8 @@ def main(sfdir: str, outdir: str, only: str = None) -> int:
             print(f"FAIL {name}: error: {e}")
             n_fail += 1
             continue
+        finally:
+            con.close()
         g, e = canon(got.copy()), canon(exp.copy())
         problems = []
         if sorted(got.columns) != sorted(exp.columns):
