@@ -339,18 +339,18 @@ object Analytics4 {
         |SELECT src, dst, min(cost) AS cost, exp(-min(cost)) AS prob
         |FROM p GROUP BY 1, 2""".stripMargin,
     "graph_triangles" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT c.c_nationkey AS na, s.s_nationkey AS nb, count(*) AS cnt
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |    JOIN customer c ON o.o_custkey = c.c_custkey
         |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  WHERE c.c_nationkey <> s.s_nationkey
         |  GROUP BY 1, 2),
-        |und AS (SELECT least(na, nb) AS a, greatest(na, nb) AS b,
+        |und AS MATERIALIZED (SELECT least(na, nb) AS a, greatest(na, nb) AS b,
         |               sum(cnt) AS cnt
         |        FROM pairs GROUP BY 1, 2),
         |tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM und),
-        |edges AS (SELECT a, b FROM und CROSS JOIN tot
+        |edges AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN tot
         |          WHERE cnt * np * 100 > 115 * t),
         |tri AS (SELECT e1.a, e1.b, e2.b AS c
         |        FROM edges e1 JOIN edges e2 ON e2.a = e1.b

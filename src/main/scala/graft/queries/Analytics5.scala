@@ -266,19 +266,19 @@ object Analytics5 {
 
   val oracle: Map[String, String] = Map(
     "agg_market_basket" ->
-      (s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      (s"""WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
           |                 FROM lineitem JOIN part ON l_partkey = p_partkey),
           |""".stripMargin + mbCensus("baskets")),
     "graph_degree_dist" -> degreeSql("lineitem"),
     "agg_theil_sen" ->
-      """WITH daily AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+      """WITH daily AS MATERIALIZED (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
         |                 CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |               FROM orders GROUP BY 1),
         |p AS (SELECT (b.y - a.y) / (b.x - a.x) AS slope
         |      FROM daily a JOIN daily b ON b.x > a.x),
         |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
         |             count(*) OVER () AS np FROM p),
-        |med AS (SELECT avg(slope) AS ts_slope, min(np) AS n_pairs FROM r
+        |med AS MATERIALIZED (SELECT avg(slope) AS ts_slope, min(np) AS n_pairs FROM r
         |        WHERE rn IN (CAST((np + 1) // 2 AS BIGINT), CAST((np + 2) // 2 AS BIGINT))),
         |ic AS (SELECT d.y - m.ts_slope * d.x AS icpt FROM daily d CROSS JOIN med m),
         |ir AS (SELECT icpt, row_number() OVER (ORDER BY icpt) AS rn,
