@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Analytics6.queries ++
       graft.queries.Analytics7.queries ++
       graft.queries.Analytics8.queries ++
+      graft.queries.Analytics9.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.queries.Analytics6.oracle ++
       graft.queries.Analytics7.oracle ++
       graft.queries.Analytics8.oracle ++
+      graft.queries.Analytics9.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -243,13 +243,86 @@ object StockEtl {
          |FROM f""".stripMargin)
   }
 
+  // OHLC bar consolidation (duplicate-date rule as barsCte, but keeps
+  // the high/low range: max(high), min(low) span every duplicate row).
+  private def ohlcCte(cleaned: String): String =
+    s"""bars AS (SELECT stock_name, date, max(price) AS price,
+       |           max(high) AS high, min(low) AS low
+       |         FROM $cleaned
+       |         WHERE date IS NOT NULL AND price IS NOT NULL
+       |           AND high IS NOT NULL AND low IS NOT NULL
+       |         GROUP BY stock_name, date)""".stripMargin
+
+  /** Stochastic oscillator %K(14)/%D(3) per stock: %K positions the
+    * close inside the trailing 14-bar high-low range (pure
+    * comparisons — exact on both engines); %D is the 3-bar SMA of %K.
+    * Zero-width ranges pin %K to 50. Emitted from the 16th bar (first
+    * full %K window plus two %K values for %D). */
+  def etlStockStochastic(s: SparkSession, dir: String): DataFrame = {
+    lowercased(clean(readRawCsv(s, goldenCsv)))
+      .createOrReplaceTempView("graft_sto_cleaned")
+    s.sql(stochasticCensus("graft_sto_cleaned"))
+  }
+
+  private def stochasticCensus(cleaned: String): String =
+    s"""WITH ${ohlcCte(cleaned)},
+       |r AS (SELECT stock_name, date, price,
+       |        min(low) OVER (PARTITION BY stock_name ORDER BY date
+       |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS low14,
+       |        max(high) OVER (PARTITION BY stock_name ORDER BY date
+       |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS high14,
+       |        row_number() OVER (PARTITION BY stock_name ORDER BY date) AS rn
+       |      FROM bars),
+       |k AS (SELECT stock_name, date, rn,
+       |        CASE WHEN high14 = low14 THEN 50.0
+       |             ELSE (price - low14) / (high14 - low14) * 100.0 END AS pct_k
+       |      FROM r),
+       |d AS (SELECT stock_name, date, rn, pct_k,
+       |        avg(pct_k) OVER (PARTITION BY stock_name ORDER BY rn
+       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS pct_d
+       |      FROM k)
+       |SELECT stock_name, date, pct_k, pct_d
+       |FROM d WHERE rn >= 16""".stripMargin
+
+  /** Average true range ATR(14) per stock: TR = max(high − low,
+    * |high − prevClose|, |low − prevClose|) (first bar falls back to
+    * high − low), ATR the 14-bar SMA of TR. Subtractions of input
+    * bits and comparisons only; the SMA is the single accumulation,
+    * whose frame-vs-segment-tree ulp sits far under round-6 on
+    * O(100) values. */
+  def etlStockAtr(s: SparkSession, dir: String): DataFrame = {
+    lowercased(clean(readRawCsv(s, goldenCsv)))
+      .createOrReplaceTempView("graft_atr_cleaned")
+    s.sql(atrCensus("graft_atr_cleaned"))
+  }
+
+  private def atrCensus(cleaned: String): String =
+    s"""WITH ${ohlcCte(cleaned)},
+       |p AS (SELECT stock_name, date, high, low,
+       |        lag(price) OVER (PARTITION BY stock_name ORDER BY date) AS pc,
+       |        row_number() OVER (PARTITION BY stock_name ORDER BY date) AS rn
+       |      FROM bars),
+       |tr AS (SELECT stock_name, date, rn,
+       |         CASE WHEN pc IS NULL THEN high - low
+       |              ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+       |         END AS tr
+       |       FROM p),
+       |a AS (SELECT stock_name, date, rn, tr,
+       |        avg(tr) OVER (PARTITION BY stock_name ORDER BY rn
+       |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr14
+       |      FROM tr)
+       |SELECT stock_name, date, tr, atr14
+       |FROM a WHERE rn >= 14""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_stock_clean" -> (etlStockClean _),
     "etl_stock_pipeline" -> (etlStockPipeline _),
     "etl_gapfill" -> (etlGapfill _),
     "etl_profile" -> (etlProfile _),
     "etl_stock_obv" -> (etlStockObv _),
-    "etl_stock_macd" -> (etlStockMacd _))
+    "etl_stock_macd" -> (etlStockMacd _),
+    "etl_stock_stochastic" -> (etlStockStochastic _),
+    "etl_stock_atr" -> (etlStockAtr _))
 
   // The oracle re-runs the cleaning rules in DuckDB over the same CSV.
   private def nullish(c: String) = s"lower(trim($c)) IN ('', 'nan')"
@@ -279,6 +352,14 @@ object StockEtl {
     "etl_stock_obv" ->
       (s"""WITH cleaned AS ($etlSql),
           |""".stripMargin + obvCensus("cleaned")),
+    "etl_stock_stochastic" ->
+      (s"""WITH cleaned AS ($etlSql),
+          |""".stripMargin +
+        stochasticCensus("cleaned").replaceFirst("WITH ", "")),
+    "etl_stock_atr" ->
+      (s"""WITH cleaned AS ($etlSql),
+          |""".stripMargin +
+        atrCensus("cleaned").replaceFirst("WITH ", "")),
     "etl_stock_macd" ->
       s"""WITH RECURSIVE cleaned AS ($etlSql),
          |${barsCte("cleaned")},
