@@ -103,9 +103,41 @@ object Analytics9 {
        |                  + kurtosis_ex * kurtosis_ex / 4.0) AS jb_stat
        |FROM z""".stripMargin
 
+  /** Burstiness coefficient B = (σ−μ)/(σ+μ) (Goh & Barabási 2008) of
+    * the inter-arrival gaps per event type, over the same
+    * (user, type)-keyed gaps as [[Analytics6.eventsInterarrival]]:
+    * B→−1 periodic, B→0 Poisson, B→1 bursty. Gaps stay integer
+    * microseconds; Σg is BIGINT-exact and Σg² rides DECIMAL(38,0)
+    * (g² alone can exceed int64 — Spark's non-ANSI bigint sum would
+    * wrap SILENTLY); the only floating steps are the final
+    * mean/variance divisions. */
+  def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("graft_bn_events")
+    s.sql(burstSql("graft_bn_events", "unix_micros(ts)"))
+  }
+
+  private def burstSql(table: String, epochUs: String): String =
+    s"""WITH g AS (SELECT event_type,
+       |    $epochUs - lag($epochUs) OVER (PARTITION BY user_id, event_type
+       |                                   ORDER BY $epochUs, event_id) AS gap
+       |  FROM $table),
+       |st AS (SELECT event_type, count(*) AS n, sum(gap) AS s1,
+       |         sum(CAST(gap AS DECIMAL(20, 0)) * gap) AS s2
+       |       FROM g WHERE gap IS NOT NULL GROUP BY event_type),
+       |d AS (SELECT event_type, n,
+       |        CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean_s,
+       |        sqrt(greatest((CAST(s2 AS DOUBLE)
+       |                       - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 0.0))
+       |          / 1000000.0 AS std_s
+       |      FROM st)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_gaps, mean_s, std_s,
+       |       (std_s - mean_s) / (std_s + mean_s) AS burstiness
+       |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_clustering" -> (graphClustering _),
-    "agg_jarque_bera" -> (aggJarqueBera _))
+    "agg_jarque_bera" -> (aggJarqueBera _),
+    "events_burstiness" -> (eventsBurstiness _))
 
   val oracle: Map[String, String] = Map(
     "graph_clustering" ->
@@ -122,5 +154,6 @@ object Analytics9 {
          |""".stripMargin +
         clusteringCensus("und")
           .replaceFirst("edges AS \\(", "edges AS MATERIALIZED (")),
-    "agg_jarque_bera" -> jbSql("orders"))
+    "agg_jarque_bera" -> jbSql("orders"),
+    "events_burstiness" -> burstSql("events", "epoch_us(ts)"))
 }

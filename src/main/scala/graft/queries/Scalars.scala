@@ -157,6 +157,22 @@ object Scalars {
       nested.getField("flag").as("flag_out"))
   }
 
+  /** Bitwise scalar surface over part keys: AND/OR/XOR/NOT, shifts,
+    * popcount — pure integer ops, bit-identical by construction. The
+    * xor and shift SPELLINGS differ per dialect (Spark `^`/shiftleft,
+    * DuckDB `xor()`/`<<`); semantics are two's-complement BIGINT on
+    * both. */
+  def scalarBitwise(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("graft_bw_part")
+    s.sql(
+      """SELECT p_partkey,
+        |  p_partkey & 170 AS band, p_partkey | 85 AS bor,
+        |  p_partkey ^ 204 AS bxor, ~p_partkey AS bnot,
+        |  shiftleft(p_partkey, 2) AS shl, shiftright(p_partkey, 1) AS shr,
+        |  bit_count(p_partkey) AS bcnt
+        |FROM graft_bw_part WHERE p_partkey < 512""".stripMargin)
+  }
+
   /** Generator surface: explode tokens, global top-20 token counts. */
   def explodeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -178,9 +194,17 @@ object Scalars {
     "array_ops" -> (arrayOps _),
     "scalar_map" -> (scalarMap _),
     "scalar_struct" -> (scalarStruct _),
+    "scalar_bitwise" -> (scalarBitwise _),
     "explode_tokens" -> (explodeTokens _))
 
   val oracle: Map[String, String] = Map(
+    "scalar_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 170 AS band, p_partkey | 85 AS bor,
+        |  xor(p_partkey, 204) AS bxor, ~p_partkey AS bnot,
+        |  p_partkey << 2 AS shl, p_partkey >> 1 AS shr,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS bcnt
+        |FROM part WHERE p_partkey < 512""".stripMargin,
     "filter_predicates" ->
       """SELECT p_partkey, p_name, p_type, p_size FROM part
         |WHERE p_type LIKE 'P%' AND p_size IN (5, 10, 15, 20, 25)

@@ -66,6 +66,44 @@ class Analytics9Spec extends SparkTestBase {
     }
   }
 
+  test("scalar_bitwise matches JVM two's-complement ops") {
+    val out = q("scalar_bitwise").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val k = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Long]("band") == (k & 170L))
+      assert(r.getAs[Long]("bor") == (k | 85L))
+      assert(r.getAs[Long]("bxor") == (k ^ 204L))
+      assert(r.getAs[Long]("bnot") == ~k)
+      assert(r.getAs[Long]("shl") == (k << 2))
+      assert(r.getAs[Long]("shr") == (k >> 1))
+      assert(r.getAs[Int]("bcnt") == java.lang.Long.bitCount(k))
+    }
+  }
+
+  test("events_burstiness: bounded in (-1, 1), gap accounting matches") {
+    val out = q("events_burstiness").collect()
+    assert(out.nonEmpty)
+    val gapsByType = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((_, ty), rows) =>
+        val sorted = rows.sortBy(t => (t._3, t._4)).map(_._3)
+        sorted.zip(sorted.tail).map { case (a, b) => (ty, b - a) }
+      }.groupBy(_._1).map { case (ty, gs) => ty -> gs.map(_._2) }
+    out.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0, s"B=$b")
+      val gs = gapsByType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_gaps") == gs.length.toLong)
+      val mean = gs.map(_.toDouble).sum / gs.length / 1e6
+      assert(math.abs(r.getAs[Double]("mean_s") - mean) < 1e-6 * mean)
+      assert(math.abs(b - (r.getAs[Double]("std_s") - r.getAs[Double]("mean_s"))
+        / (r.getAs[Double]("std_s") + r.getAs[Double]("mean_s"))) < 1e-12)
+    }
+  }
+
   test("etl_stock_atr: TR dominates high-low, ATR positive") {
     val out = q("etl_stock_atr").collect()
     assert(out.nonEmpty)
