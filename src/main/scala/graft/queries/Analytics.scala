@@ -115,11 +115,13 @@ object Analytics {
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("nu"))
     val tot = cnt.agg(sum("n").as("nb"))
     val tu = uni.agg(sum("nu").as("nt"))
+    // The unigram relation scales with |vocab| — no broadcast hint;
+    // AQE sees its runtime size and picks broadcast only while it
+    // fits, so the plan survives a 100× vocab scale-up. The two
+    // scalar totals stay hinted (1 row each, always broadcastable).
     cnt.crossJoin(broadcast(tot)).crossJoin(broadcast(tu))
-      .join(broadcast(uni.select(col("tok").as("w1"), col("nu").as("nu1"))),
-        "w1")
-      .join(broadcast(uni.select(col("tok").as("w2"), col("nu").as("nu2"))),
-        "w2")
+      .join(uni.select(col("tok").as("w1"), col("nu").as("nu1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("nu").as("nu2")), "w2")
       .select(col("w1"), col("w2"), col("n"),
         // Raw: the integer ratios are IEEE-exact (bit-identical), and
         // the one LN agrees to a ulp — Math.log (JVM intrinsic) and
@@ -159,7 +161,11 @@ object Analytics {
       .select(col("l_suppkey"), (col("sx") / col("nd")).as("mu"),
         sqrt((col("nd") * col("sxx") - col("sx") * col("sx")) /
           (col("nd") * (col("nd") - lit(1.0d)))).as("sd"))
-    li.join(broadcast(st), "l_suppkey")
+    // st is one row PER SUPPLIER — it scales with a key, not a
+    // constant, so no broadcast hint: AQE broadcasts it while its
+    // runtime size allows and falls back to a shuffled join beyond
+    // that, instead of OOMing the driver at a 100× supplier count.
+    li.join(st, "l_suppkey")
       .withColumn("z0", (col("l_extendedprice") - col("mu")) / col("sd"))
       .filter(abs(col("z0")) > 1.5)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

@@ -394,14 +394,17 @@ object Analytics2 {
   /** Unigram log-probability quality score (perplexity proxy): each
     * doc's mean -ln p(token) under the corpus unigram model — the
     * cheap LM-quality filter run before an expensive model-based one.
-    * The unigram table is corpus-wide but tiny (vocab-sized) — it
-    * broadcasts back to the exploded token stream. */
+    * The unigram table is vocab-sized — no broadcast hint: AQE
+    * broadcasts it back to the exploded token stream while its
+    * runtime size fits, and degrades to a shuffled hash join on a
+    * 100× vocab instead of a driver OOM. The scalar total keeps its
+    * hint (one row). */
   def llmLogprob(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val uni = tok.groupBy("t").agg(count(lit(1)).as("n"))
     val tot = uni.agg(sum("n").as("nt"))
-    tok.join(broadcast(uni), "t").crossJoin(broadcast(tot))
+    tok.join(uni, "t").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         expr("ROUND(-SUM(LN(n / nt)) / COUNT(*), 4)").as("avg_neg_logprob"))

@@ -60,7 +60,10 @@ object Analytics5 {
     * basket width bounded by |brands| = 25, so candidate generation is
     * O(orders × width²), never all-pairs — the same blocking argument
     * as the minhash band join. Counts stay integer; lift is the single
-    * final division. */
+    * final division, with the cnt_a × cnt_b denominator computed in
+    * DOUBLE — as int64 it would wrap silently (non-ANSI) once
+    * per-brand order counts pass ~3e9, i.e. exactly the 100 TB
+    * regime. */
   def aggMarketBasket(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
@@ -81,7 +84,8 @@ object Analytics5 {
        |SELECT p.brand_a, p.brand_b, p.cnt_ab,
        |       CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
        |       CAST(n.n_orders AS BIGINT) AS n_orders,
-       |       CAST(p.cnt_ab AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt) AS lift
+       |       CAST(p.cnt_ab AS DOUBLE) * n.n_orders
+       |         / (CAST(ca.cnt AS DOUBLE) * cb.cnt) AS lift
        |FROM p JOIN c ca ON ca.brand = p.brand_a
        |       JOIN c cb ON cb.brand = p.brand_b
        |       CROSS JOIN n
@@ -177,9 +181,12 @@ object Analytics5 {
     * so the floor binds everywhere and the formula degenerates to its
     * single-sentence branch; on punctuated text the same code is the
     * full statistic), and a vowel-group syllable heuristic floored at
-    * one syllable per word. Pure projection — zero shuffle, scan-bound
-    * at any scale; the divisions are the only floating step and run in
-    * the same textual order on both engines. */
+    * one syllable PER WORD (sum of max(1, vowel groups in w) — the
+    * standard Flesch rule; a global floor would differ on texts
+    * mixing vowel-less and multi-syllable words). Pure projection —
+    * zero shuffle, scan-bound at any scale; the divisions are the
+    * only floating step and run in the same textual order on both
+    * engines. */
   def textReadability(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -187,8 +194,8 @@ object Analytics5 {
         greatest(lit(1L),
           size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
           .as("n_sents"),
-        greatest(size(split(col("text"), " ")).cast("long"),
-          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long"))
+        expr("""aggregate(split(lower(text), ' '), 0L, (acc, w) ->
+                 acc + CAST(greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0))) AS BIGINT))""")
           .as("n_syll"))
       .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
         (lit(206.835) - lit(1.015) * (col("n_words") / col("n_sents"))
@@ -312,8 +319,8 @@ object Analytics5 {
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |             greatest(CAST(1 AS BIGINT),
         |               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sents,
-        |             greatest(CAST(len(string_split(text, ' ')) AS BIGINT),
-        |               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syll
+        |             CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syll
         |           FROM documents)
         |SELECT doc_id, n_words, n_sents, n_syll,
         |       206.835 - 1.015 * (n_words / n_sents)

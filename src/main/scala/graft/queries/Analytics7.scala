@@ -158,9 +158,10 @@ object Analytics7 {
        |             count(*) - sum(up) AS n2 FROM ch)
        |SELECT CAST(runs AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_above,
        |       CAST(n2 AS BIGINT) AS n_below,
-       |       (runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
-       |         / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-       |                / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) AS runs_z
+       |       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+       |            ELSE (runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+       |              / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+       |                     / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) END AS runs_z
        |FROM t""".stripMargin
 
   /** The first BPE training iteration over the corpus: the 20 most

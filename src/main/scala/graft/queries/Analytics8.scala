@@ -120,8 +120,10 @@ object Analytics8 {
        |           FROM $table GROUP BY user_id)
        |SELECT user_id, CAST(n AS BIGINT) AS n_events, sx / n AS pnl_mean,
        |  sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) AS pnl_std,
-       |  (sx / n) / sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0))
-       |    * sqrt(252.0) AS sharpe
+       |  CASE WHEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) = 0.0
+       |       THEN NULL
+       |       ELSE (sx / n) / sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0))
+       |         * sqrt(252.0) END AS sharpe
        |FROM g WHERE n >= 2""".stripMargin
 
   /** Day-of-week seasonality of order revenue: per-dow mean daily

@@ -42,6 +42,14 @@ object Probe {
           java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
       case "explain" :: dir :: name :: Nil =>
         graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      // AQE's runtime join re-planning (e.g. SMJ→BHJ once the build
+      // side's true size is known) is invisible in the static plan:
+      // execute, then print the FINAL adaptive plan. This is the audit
+      // for "no broadcast hint, but AQE still broadcasts at this sf".
+      case "explainExec" :: dir :: name :: Nil =>
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
       case "time" :: dir :: name :: reps =>
         val n = reps.headOption.map(_.toInt).getOrElse(3)
         // win_topk_window: the row_number twin of win_topk_heap, kept

@@ -69,12 +69,12 @@ def main(sfdir: str, outdir: str, only: str = None) -> int:
     for name in sorted(oracle):
         if only and only not in name:
             continue
-        con = fresh_con(sfdir)
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output written")
             n_fail += 1
             continue
+        con = fresh_con(sfdir)
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
