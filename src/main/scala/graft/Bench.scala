@@ -61,18 +61,55 @@ object Bench {
   private class Metrics extends SparkListener {
     val shuffleRead = new AtomicLong; val shuffleWrite = new AtomicLong
     val spilled = new AtomicLong
+    // Task-attributed JVM GC time and the max single-task execution
+    // memory: the two counters that separate "the plan is heavy" from
+    // "the host was slow" when a driver-side number diverges from the
+    // local band (the r8/r9 spike-attribution problem).
+    val gcTime = new AtomicLong; val peakExecMem = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spilled.addAndGet(m.diskBytesSpilled)
+        gcTime.addAndGet(m.jvmGCTime)
+        peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max)
       }
     }
   }
 
+  /** Pin all scratch IO (java.io.tmpdir, Spark local dirs — shuffle
+    * files, localCheckpoint disk blocks) to tmpfs when it is present
+    * with ample headroom. Two consecutive rounds of driver-side bench
+    * spikes (r8 tmpdir round-trips, r9 localCheckpoint-heavy queries)
+    * pattern-matched slow scratch storage; a RAM-backed scratch makes
+    * the harness immune to that whole class instead of re-litigating
+    * attribution each round. Full-suite shuffle volume at sf0.1 is
+    * ~0.4 GB, so the 16 GiB headroom requirement is conservative.
+    * Must run BEFORE the SparkSession is built (SparkConf snapshots
+    * spark.* system properties at construction). */
+  private def pinScratchToTmpfs(): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (!(shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace > 16L * 1024 * 1024 * 1024)) return None
+    val dir = new java.io.File(shm, s"graft-bench-${ProcessHandle.current().pid()}")
+    if (!dir.mkdirs() && !dir.isDirectory) return None
+    System.setProperty("java.io.tmpdir", dir.getAbsolutePath)
+    System.setProperty("spark.local.dir", dir.getAbsolutePath)
+    // tmpfs is RAM: delete on exit even if main throws.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+    Some(dir.getAbsolutePath)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scratch = pinScratchToTmpfs()
     val spark = graft.core.GraftSession.get()
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
@@ -84,11 +121,26 @@ object Bench {
     // llm_* query then hits warm memos and reports its OWN cost, and
     // the index build carries its own named number instead of being
     // silently charged to whichever consumer ran first.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def driverGcMs(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0L)); t
+    }
+    // Cached-block census (localCheckpoint/persist blocks): growth in
+    // cached bytes across a query attributes block-manager pressure to
+    // the query that created it.
+    def storageBytes(): (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+    }
+    case class Run(name: String, sec: Double, ok: Boolean,
+      read: Long, write: Long, spill: Long,
+      gcMs: Long, peakMb: Long, cachedMemMb: Long, cachedDiskMb: Long)
     val allQ = SparkEntry.queries.toSeq.sortBy(_._1)
     val (stageQ, restQ) = allQ.partition(_._1 == "llm_stage_index")
     val results = (stageQ ++ restQ).map { case (name, fn) =>
       val r0 = metrics.shuffleRead.get; val w0 = metrics.shuffleWrite.get
-      val s0 = metrics.spilled.get
+      val s0 = metrics.spilled.get; val g0 = metrics.gcTime.get + driverGcMs()
+      metrics.peakExecMem.set(0)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -97,28 +149,41 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(50) // let straggler task-end events drain
-      (name, if (ok) sec else -sec, ok,
+      val (cm, cd) = storageBytes()
+      Run(name, if (ok) sec else -sec, ok,
         metrics.shuffleRead.get - r0, metrics.shuffleWrite.get - w0,
-        metrics.spilled.get - s0)
+        metrics.spilled.get - s0,
+        metrics.gcTime.get + driverGcMs() - g0,
+        metrics.peakExecMem.get / 1048576, cm / 1048576, cd / 1048576)
     }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
-    val secByName = results.map { case (k, v, _, _, _, _) => k -> v }.toMap
-    val qsAll = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val secByName = results.map(r => r.name -> r.sec).toMap
+    val qsAll = results.map(r => "\"" + r.name + "\":" + f"${r.sec}%.3f")
       .mkString("{", ",", "}")
     val shuffle = results
-      .map { case (k, _, _, r, w, s) =>
-        "\"" + k + "\":{\"read_mb\":" + mb(r) + ",\"write_mb\":" + mb(w) +
-          ",\"spill_mb\":" + mb(s) + "}" }
+      .map { r =>
+        "\"" + r.name + "\":{\"read_mb\":" + mb(r.read) +
+          ",\"write_mb\":" + mb(r.write) + ",\"spill_mb\":" + mb(r.spill) +
+          ",\"gc_ms\":" + r.gcMs + ",\"peak_exec_mb\":" + r.peakMb +
+          ",\"cached_mem_mb\":" + r.cachedMemMb +
+          ",\"cached_disk_mb\":" + r.cachedDiskMb + "}" }
       .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val total = results.filter(_.ok).map(_.sec).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
 
-    // Full detail: every query's seconds, shuffle attribution, failures.
+    // Full detail: every query's seconds, shuffle + GC/memory/storage
+    // attribution, failures, and the scratch placement — so a future
+    // driver-vs-local divergence is self-attributing from this file
+    // alone (high gc_ms → heap pressure; spill/cached_disk with slow
+    // scratch → IO; none of these → external contention).
+    val env =
+      s"""{"scratch":${scratch.map("\"" + _ + "\"").getOrElse("null")},""" +
+        s""""tmpfs":${scratch.isDefined}}"""
     val detail =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsAll,""" +
-        s""""shuffle":$shuffle,"failed":$failed,"sf":$sfNum,"dir":"$sfDir"}"""
+        s""""shuffle":$shuffle,"failed":$failed,"env":$env,"sf":$sfNum,"dir":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
@@ -135,7 +200,7 @@ object Bench {
     // failure just as visible as a slow success.
     val ordered =
       headline.filter(secByName.contains) ++
-        results.map(_._1).filterNot(headline.contains)
+        results.map(_.name).filterNot(headline.contains)
           .sortBy(k => -math.abs(secByName(k)))
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val suffix = s"""},"sf":$sfNum}"""

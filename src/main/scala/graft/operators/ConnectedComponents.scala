@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Minimum edges per partition for the star rounds to be worth
+    * distributing: below this, a round's two shuffles are pure
+    * scheduling overhead. The small-graph cutover is derived as
+    * `defaultParallelism × this`, so it scales with the cluster — on
+    * the 32-core sandbox it sits near the old hand-picked 100k
+    * constant, on a 1000-executor cluster it moves ~1000× higher,
+    * which is exactly where the overhead/parallelism tradeoff moves. */
+  private[graft] val EdgesPerPartitionFloor = 4096L
+
+  /** The small-graph decision, factored out so the cutover arithmetic
+    * is unit-testable: Some(targetPartitions) when the edge set is too
+    * small to be worth the default layout, None to keep it. */
+  private[graft] def smallGraphPartitions(
+      edgeCount: Long, parallelism: Int): Option[Int] =
+    if (edgeCount < parallelism * EdgesPerPartitionFloor)
+      Some(math.max(1L, edgeCount / EdgesPerPartitionFloor).toInt)
+    else None
+
   /** One star step. Large connects strictly-larger neighbors of each
     * node to the minimum of its closed neighborhood; small connects the
     * ≤ neighbors (and the node itself) to that minimum. */
@@ -65,11 +83,14 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("node"))).distinct())
     var e = ckpt(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    // Small graphs collapse to one partition: each star round is two
+    // Small graphs collapse to the fewest partitions that keep
+    // `EdgesPerPartitionFloor` edges per slot: each star round is two
     // shuffles, and on a tiny edge set the rounds are pure scheduling
-    // overhead across 32 partitions. Big graphs keep the distributed
-    // layout (same adaptive layout as the label-propagation loop).
-    if (e.count() < 100000) e = ckpt(e.coalesce(1))
+    // overhead across the full default layout. Big graphs keep the
+    // distributed layout (same adaptive layout as the label-propagation
+    // loop). The cutover is parallelism-derived, not a magic constant.
+    smallGraphPartitions(e.count(), spark.sparkContext.defaultParallelism)
+      .foreach(parts => e = ckpt(e.coalesce(parts)))
     var prevSum = BigDecimal(-1)
     var converged = e.isEmpty
     var iter = 0

@@ -12,17 +12,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * repo root. Skipped (cancel) when the file is absent or from a
   * different scale factor — the budget is calibrated to sf0.1.
   *
-  * The ceiling is 12 s: high enough to clear the observed run-to-run
-  * environment band (r8's driver run showed sub-second scan queries
-  * spiking to ~8 s under host contention with no code change), low
-  * enough to catch the 13–23 s structural class. `llm_stage_index` is
-  * exempt: it is the explicit build-the-shared-index-once step (minhash
-  * pair index + shingle tables + clusters) and is priced as a batch
-  * index build, not a query; its budget is the suite-level number.
+  * The ceiling is 6 s (was 12 in r8/r9): the slowest non-staging query
+  * in the r9 driver run was 4.4 s, so 6 s catches the next structurally
+  * heavy query two rounds earlier while still clearing the local
+  * run-to-run band. The bench harness now pins its scratch to tmpfs
+  * and emits per-query GC/storage counters, which removes most of the
+  * environment noise that justified the old 12 s headroom.
+  * `llm_stage_index` is exempt: it is the explicit
+  * build-the-shared-index-once step (minhash pair index + shingle
+  * tables + clusters) and is priced as a batch index build, not a
+  * query; its budget is the suite-level number.
   */
 class BenchBudgetSpec extends AnyFunSuite {
 
-  private val PerQueryCeiling = 12.0
+  private val PerQueryCeiling = 6.0
   private val Exempt = Set("llm_stage_index")
 
   test(s"no graded query exceeds $PerQueryCeiling s in recorded sf0.1 bench detail") {

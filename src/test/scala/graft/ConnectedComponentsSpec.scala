@@ -86,6 +86,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("small-graph cutover scales with parallelism, not a magic constant") {
+    import ConnectedComponents.{smallGraphPartitions, EdgesPerPartitionFloor}
+    // tiny graph, sandbox parallelism: collapse to one partition
+    assert(smallGraphPartitions(10L, 32) == Some(1))
+    // mid-size: enough edges for a few partitions, still below cutover
+    assert(smallGraphPartitions(50000L, 32) == Some((50000L / EdgesPerPartitionFloor).toInt))
+    // above 32-core cutover (32 × floor = 131072): keep the layout
+    assert(smallGraphPartitions(200000L, 32).isEmpty)
+    // the SAME 200k edges on a 1000-executor cluster ARE small — the
+    // cutover moved with the cluster, which is the point
+    assert(smallGraphPartitions(200000L, 1000) == Some((200000L / EdgesPerPartitionFloor).toInt))
+  }
+
+  test("above-cutover graph keeps the distributed path and stays correct") {
+    // defaultParallelism in the test session is 4 → cutover = 16384
+    // edges; 100 chains × 200 edges = 20000 edges exercises the
+    // keep-the-layout branch end-to-end with known components.
+    val cutover = spark.sparkContext.defaultParallelism *
+      ConnectedComponents.EdgesPerPartitionFloor
+    val edges = for {
+      chain <- 0L until 100L
+      i <- 0L until 200L
+    } yield (chain * 1000L + i, chain * 1000L + i + 1)
+    assert(edges.size > cutover,
+      s"fixture too small to exercise the distributed branch ($cutover)")
+    val out = run(edges)
+    assert(out.size == 100 * 201)
+    assert(out.forall { case (node, comp) => comp == (node / 1000L) * 1000L })
+  }
+
   test("matches the label-propagation clustering on fixture near-dups") {
     val a = graft.queries.LlmText.queries("llm_dedup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet

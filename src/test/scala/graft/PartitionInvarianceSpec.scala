@@ -43,7 +43,16 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // census, and the fused ranking
     "win_cusum", "win_kalman", "agg_theil_sen", "win_drawdown",
     "agg_market_basket", "events_interarrival", "llm_bpe_pairs",
-    "llm_rank_fusion")
+    "llm_rank_fusion",
+    // round-9 batches 7-9: technical-indicator folds over the golden
+    // CSV (sequential per-stock windows), the nation-graph clustering
+    // census, decimal-pinned moment tests (Jarque-Bera, Levene, runs
+    // test), and the per-user burstiness coefficient — all either
+    // total-ordered walks or decimal-pinned reductions, so a task
+    // re-layout must not move a bit
+    "etl_stock_obv", "etl_stock_macd", "etl_stock_stochastic",
+    "etl_stock_atr", "graph_clustering", "agg_jarque_bera",
+    "agg_levene", "agg_runs_test", "events_burstiness")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
