@@ -52,7 +52,9 @@ object Bench {
     // round-9 session-2 families, one representative each
     "agg_theil_sen", "win_cusum", "win_rsi", "win_drawdown",
     "agg_market_basket", "llm_quality_logit", "llm_rank_fusion",
-    "stream_tws_cusum")
+    "stream_tws_cusum",
+    // round-10: lossy-codec tier and the dual-axis catalog layout
+    "mm_decode_jpeg", "scan_catalog_bucketed")
 
   /** Keep the final stdout line comfortably inside the collector's
     * 2000-char tail (sbt appends its own "[success] …" trailer). */

@@ -215,6 +215,76 @@ object Multimodal {
   def mmDecodePng(s: SparkSession, dir: String): DataFrame =
     decodeImages(pngMediaFromDocuments(s, dir)).toDF()
 
+  case class JpegRoundTrip(media_id: Long, width: Long, height: Long,
+      n_channels: Long, mean_abs_err: Double)
+
+  /** The LOSSY tier of the real-codec story: gray pixels from the doc
+    * bytes → real JPEG ENCODE (`ImageIO.write(_, "jpg", _)`) → real
+    * DECODE via `ImageIO.read` on the bare bytes, which exercises the
+    * full plugin dispatch (the reader is chosen by sniffing the JPEG
+    * SOI magic, not told the format) — a different ImageIO path than
+    * PNG's. The decoded geometry is exact even under lossy coding;
+    * the pixel VALUES are not, so the query measures mean absolute
+    * per-pixel error against the pre-encode samples inside the same
+    * partition batch — no second pass, no blob shuffle.
+    *
+    * Grading is tolerance-based, the only honest contract for a lossy
+    * codec: the graded projection exports `within_tol` (mean error ≤
+    * [[JpegTolerance]]) rather than the error itself, because the
+    * oracle cannot re-run a JPEG DCT in SQL — it CAN assert the
+    * geometry and that the codec stayed inside its error budget.
+    * High-frequency ASCII noise is the DCT's worst case; the observed
+    * band on the fixture corpus tops out near 9/255 mean absolute
+    * error at the JDK writer's default quality, so the budget is 12 —
+    * tight enough that a mis-dispatched or double-compressed path
+    * trips it, loose enough to clear codec-version drift. The spec
+    * pins the empirical band. */
+  val JpegTolerance = 12.0
+
+  def jpegRoundTrip(s: SparkSession, dir: String,
+      width: Int = 32, maxRows: Int = 8): Dataset[JpegRoundTrip] = {
+    implicit val enc = Encoders.product[JpegRoundTrip]
+    mediaFromDocuments(s, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val h = math.min(r.content.length / width, maxRows)
+        if (h < 1) None
+        else {
+          val img = new java.awt.image.BufferedImage(
+            width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val px = new Array[Int](width * h)
+          var i = 0
+          while (i < px.length) { px(i) = r.content(i) & 0xff; i += 1 }
+          img.getRaster.setSamples(0, 0, width, h, 0, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          if (back == null) None
+          else {
+            val out = new Array[Int](width * back.getHeight)
+            back.getRaster.getSamples(0, 0, width, back.getHeight, 0, out)
+            var err = 0L
+            var j = 0
+            while (j < out.length && j < px.length) {
+              err += math.abs(out(j) - px(j)); j += 1
+            }
+            Some(JpegRoundTrip(r.media_id, back.getWidth.toLong,
+              back.getHeight.toLong, back.getRaster.getNumBands.toLong,
+              err.toDouble / px.length))
+          }
+        }
+      }
+    }
+  }
+
+  /** Graded projection of [[jpegRoundTrip]]: exact geometry plus the
+    * tolerance verdict. */
+  def mmDecodeJpeg(s: SparkSession, dir: String): DataFrame =
+    jpegRoundTrip(s, dir).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_channels"),
+        (col("mean_abs_err") <= JpegTolerance).as("within_tol"))
+
   /** Content-addressed blob dedup: hash the opaque media bytes, count
     * unique blobs and the byte savings of storing each once. At 100 TB
     * the blobs are the table — dedup-before-decode is the first thing a
@@ -278,6 +348,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_ingest" -> (mmBinaryIngest _),
     "mm_decode_png" -> (mmDecodePng _),
+    "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
@@ -306,6 +377,17 @@ object Multimodal {
         |    range(32 * LEAST(length(text) // 32, 8)),
         |    i -> ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT)
         |    AS pixel_sum
+        |FROM documents WHERE length(text) >= 32""".stripMargin,
+    // Lossy JPEG: geometry is exact (recomputable from text length),
+    // pixel values are not — the oracle asserts the codec stayed
+    // inside the documented error budget (within_tol) instead of
+    // recomputing a DCT in SQL.
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(32 AS BIGINT) AS width,
+        |  CAST(LEAST(length(text) // 32, 8) AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  true AS within_tol
         |FROM documents WHERE length(text) >= 32""".stripMargin,
     // ASCII text ⇒ byte value == char code; histogram bin b counts
     // chars with ord/16 == b. Bin 4 = space..'/' (0x20-0x2f), bins 6/7

@@ -307,6 +307,36 @@ object ScaleOps {
           .as("o_totalprice"))
   }
 
+  /** The full 100 TB catalog layout on one table, end-to-end: orders
+    * persisted as a catalog table PARTITIONED BY priority (directory
+    * pruning axis: low-cardinality, predicate-heavy) AND BUCKETED +
+    * sorted by order key (join/probe axis: high-cardinality), then
+    * probed with a predicate on BOTH axes at once. The plan must show
+    * partition pruning (PartitionFilters on the scan — 1 of 5
+    * directories read) and bucket pruning (SelectedBucketsCount ≤3 of
+    * 8) TOGETHER: at 100 TB that compounds to reading ~1/5 × ≤3/8 of
+    * the table for a point-ish probe, with zero shuffle. This makes
+    * Tables.scala's "at scale these would be partitioned/bucketed
+    * catalog tables" note concrete beyond join_bucketed's single-axis
+    * ad-hoc layout; ScaleQueriesSpec pins both prunings in one plan. */
+  def scanCatalogBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir")
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("o_orderpriority")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/graft_cat_orders")
+      .saveAsTable("graft_cat_orders")
+    s.table("graft_cat_orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey").isin(3L, 4L, 5L, 6L))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+          .as("o_totalprice"))
+  }
+
   /** Incremental rollup maintenance: the month's first half is the
     * "already materialized" aggregate, the second half the newly
     * arrived delta; each is partially aggregated separately and the
@@ -535,6 +565,7 @@ object ScaleOps {
     "etl_compact" -> (etlCompact _),
     "scan_zorder" -> (scanZorder _),
     "scan_bucket_pruned" -> (scanBucketPruned _),
+    "scan_catalog_bucketed" -> (scanCatalogBucketed _),
     "etl_incremental_rollup" -> (etlIncrementalRollup _),
     "join_dpp" -> (joinDpp _),
     "etl_table_checksum" -> (etlTableChecksum _),
@@ -610,6 +641,12 @@ object ScaleOps {
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3)""".stripMargin,
+    "scan_catalog_bucketed" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderkey IN (3, 4, 5, 6)""".stripMargin,
     "etl_incremental_rollup" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -60,4 +60,46 @@ class ImageCodecSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture should yield at least one image")
     assert(got == expected)
   }
+
+  test("JPEG round-trip: exact geometry, sniffed dispatch, bounded error") {
+    // A lossy codec cannot promise pixel equality; it CAN promise
+    // geometry and an error budget. The fixture corpus is the worst
+    // case for a DCT (high-frequency ASCII noise), so the empirical
+    // band here is the evidence behind JpegTolerance.
+    val rt = Multimodal.jpegRoundTrip(spark, sf).collect()
+    assert(rt.nonEmpty)
+    rt.foreach { d =>
+      assert(d.width == 32L && d.n_channels == 1L && d.height >= 1L)
+      assert(d.mean_abs_err >= 0.0 &&
+        d.mean_abs_err <= Multimodal.JpegTolerance,
+        s"media ${d.media_id}: mean_abs_err ${d.mean_abs_err} above " +
+          s"budget ${Multimodal.JpegTolerance}")
+    }
+    // error must be genuinely lossy-nonzero somewhere, or the test
+    // silently degraded to the PNG path (wrong codec dispatched)
+    assert(rt.exists(_.mean_abs_err > 0.0),
+      "all-zero error: JPEG encode was lossless — plugin dispatch suspect")
+    // the graded projection agrees with the oracle's expectation shape
+    val graded = Multimodal.queries("mm_decode_jpeg")(spark, sf).collect()
+    assert(graded.length == rt.length)
+    assert(graded.forall(_.getAs[Boolean]("within_tol")))
+  }
+
+  test("JPEG blobs carry the SOI magic and decode via format sniffing") {
+    import spark.implicits._
+    // encode one known image through the jpg writer, then hand the
+    // bare bytes to decodeImages (no format hint anywhere): the reader
+    // must be selected by content sniffing.
+    val img = new java.awt.image.BufferedImage(
+      8, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, 8, 2, 0, Array.fill(16)(128))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "missing JPEG SOI marker — jpg writer not dispatched")
+    val out = Multimodal.decodeImages(
+      Seq(Multimodal.MediaRow(1L, bytes, "image/jpeg")).toDS()).collect()
+    assert(out.length == 1 && out.head.width == 8L && out.head.height == 2L)
+  }
 }

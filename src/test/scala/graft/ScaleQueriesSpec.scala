@@ -153,6 +153,26 @@ class ScaleQueriesSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("scan_catalog_bucketed prunes partitions AND buckets in one scan") {
+    val df = graft.queries.ScaleOps.scanCatalogBucketed(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // directory-pruning axis: the priority predicate must land in
+    // PartitionFilters (not a post-scan Filter), so only the 1-URGENT
+    // directory of the 5 is listed
+    val pf = "PartitionFilters: \\[[^\\]]*1-URGENT[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pf.isDefined, s"priority not a partition filter:\n$plan")
+    // bucket-pruning axis: 4 probed keys can touch at most 4 of the 8
+    // buckets, and pruning must actually engage
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 8,
+      s"expected <=4 of 8 buckets, got ${m.get.group(0)}")
+    // non-empty at the fixture scale (keys 3..6 include an urgent
+    // order at sf0.001/0.01/0.1 by construction of the probe set)
+    assert(df.count() >= 1)
+  }
+
   test("join_dpp plants a dynamic partition pruning subquery on the fact scan") {
     val df = graft.queries.ScaleOps.joinDpp(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
