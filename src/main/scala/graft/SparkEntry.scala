@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Analytics7.queries ++
       graft.queries.Analytics8.queries ++
       graft.queries.Analytics9.queries ++
+      graft.queries.Analytics10.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       graft.queries.Analytics7.oracle ++
       graft.queries.Analytics8.oracle ++
       graft.queries.Analytics9.oracle ++
+      graft.queries.Analytics10.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
