@@ -112,6 +112,11 @@ object Analytics10 {
         |          WHERE cnt * np * 100 > 115 * t)
         |SELECT a AS src, b AS dst FROM edges
         |UNION ALL SELECT b, a FROM edges""".stripMargin)
+      // ≤2·|nations|² rows: collapse the 32 post-shuffle partitions so
+      // the 4-round fixpoint schedules one task per stage, not 32
+      // mostly-empty ones. At a real-graph scale the coalesce factor
+      // would follow |edges| (the ConnectedComponents cutover rule).
+      .coalesce(1)
       .localCheckpoint(eager = true)
     var lab = sym.select(col("src").as("nk")).distinct()
       .select(col("nk"), col("nk").as("label"))
