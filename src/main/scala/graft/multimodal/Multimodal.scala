@@ -285,6 +285,76 @@ object Multimodal {
         col("n_channels"),
         (col("mean_abs_err") <= JpegTolerance).as("within_tol"))
 
+  case class PhashRow(media_id: Long, y: Long, row_sum: Long,
+      row_hash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL PNG round-trip:
+    * encode each document's pixels losslessly, decode with the actual
+    * JDK codec, then per image compare each 4×1-pixel cell's sum
+    * against the global mean — bit x of row y is set when
+    * `cell_sum · 8h > total` (the integer-exact spelling of
+    * cell_mean > image_mean over a 32×h raster). Emitted one row per
+    * raster ROW — 8 bits in `row_hash`, plus the row's pixel sum —
+    * so every value is a small exact integer and the oracle (which
+    * reproduces each pixel from the document's chars) grades the full
+    * decode→hash path bit-for-bit. This is the image half of the
+    * near-dup story: at scale, `row_hash` concatenations are the
+    * band keys an LSH self-join blocks on — same shape as
+    * `llm_minhash_neardup`'s (band, sig) equi-join, never all-pairs.
+    * Blobs never shuffle; only (id, y, two longs) leave the decode
+    * partition. */
+  def phashImages(media: Dataset[MediaRow], width: Int = 32,
+      maxRows: Int = 8): Dataset[PhashRow] = {
+    implicit val enc = Encoders.product[PhashRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val h = math.min(r.content.length / width, maxRows)
+        if (h < 1) Iterator.empty
+        else {
+          val img = new java.awt.image.BufferedImage(
+            width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val px = new Array[Int](width * h)
+          var i = 0
+          while (i < px.length) { px(i) = r.content(i) & 0xff; i += 1 }
+          img.getRaster.setSamples(0, 0, width, h, 0, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          if (back == null) Iterator.empty
+          else {
+            val bh = back.getHeight
+            val v = new Array[Int](width * bh)
+            back.getRaster.getSamples(0, 0, width, bh, 0, v)
+            var total = 0L
+            var j = 0
+            while (j < v.length) { total += v(j); j += 1 }
+            (0 until bh).iterator.map { y =>
+              var rowSum = 0L
+              var rowHash = 0L
+              var x = 0
+              while (x < 8) {
+                var cs = 0L
+                var k = 0
+                while (k < 4) { cs += v(y * width + 4 * x + k); k += 1 }
+                if (cs * 8 * bh > total) rowHash |= 1L << x
+                x += 1
+              }
+              var xx = 0
+              while (xx < width) { rowSum += v(y * width + xx); xx += 1 }
+              PhashRow(r.media_id, y.toLong, rowSum, rowHash)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Graded query: the per-row perceptual hash through the real
+    * encode→decode round-trip. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    phashImages(mediaFromDocuments(s, dir)).toDF()
+
   /** Content-addressed blob dedup: hash the opaque media bytes, count
     * unique blobs and the byte savings of storing each once. At 100 TB
     * the blobs are the table — dedup-before-decode is the first thing a
@@ -352,7 +422,8 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
-    "mm_blob_dedup" -> (mmBlobDedup _))
+    "mm_blob_dedup" -> (mmBlobDedup _),
+    "mm_phash" -> (mmPhash _))
 
   val oracle: Map[String, String] = Map(
     // ASCII ⇒ md5(chars) == md5(blob bytes), LENGTH(chars) == file size
@@ -428,5 +499,28 @@ object Multimodal {
         |SELECT COUNT(*) AS n_unique, CAST(SUM(c) AS BIGINT) AS n_total,
         |  CAST(SUM(len) AS BIGINT) AS bytes_unique,
         |  CAST(SUM(len * c) AS BIGINT) AS bytes_total
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    // ASCII ⇒ pixel(p) == ascii(char p); the PNG round-trip is
+    // lossless, so the oracle rebuilds every cell sum from the text.
+    "mm_phash" ->
+      """WITH m AS (SELECT doc_id, text, least(length(text) // 32, 8) AS h
+        |           FROM documents WHERE length(text) >= 32),
+        |px AS (SELECT doc_id, h, g.p, ascii(substr(text, g.p + 1, 1)) AS v
+        |       FROM m CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g
+        |       WHERE g.p < h * 32),
+        |tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
+        |cell AS (SELECT doc_id, h, p // 32 AS y, (p % 32) // 4 AS x,
+        |           sum(v) AS cs
+        |         FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT c.doc_id, c.y,
+        |           sum(CASE WHEN c.cs * 8 * c.h > t.t
+        |               THEN 1 << c.x ELSE 0 END) AS row_hash
+        |         FROM cell c JOIN tot t USING (doc_id) GROUP BY 1, 2),
+        |rsum AS (SELECT doc_id, p // 32 AS y, sum(v) AS row_sum
+        |         FROM px GROUP BY 1, 2)
+        |SELECT b.doc_id AS media_id, CAST(b.y AS BIGINT) AS y,
+        |  CAST(r.row_sum AS BIGINT) AS row_sum,
+        |  CAST(b.row_hash AS BIGINT) AS row_hash
+        |FROM bits b JOIN rsum r ON b.doc_id = r.doc_id AND b.y = r.y"""
+        .stripMargin)
 }

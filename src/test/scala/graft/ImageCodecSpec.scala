@@ -102,4 +102,36 @@ class ImageCodecSpec extends SparkTestBase {
       Seq(Multimodal.MediaRow(1L, bytes, "image/jpeg")).toDS()).collect()
     assert(out.length == 1 && out.head.width == 8L && out.head.height == 2L)
   }
+
+  test("mm_phash matches a from-text aHash replica through the codec") {
+    val out = Multimodal.queries("mm_phash")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("y")) ->
+        (r.getAs[Long]("row_sum"), r.getAs[Long]("row_hash"))).toMap
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val h = math.min(text.length / 32, 8)
+      if (h < 1) assert(!out.exists(_._1._1 == id))
+      else {
+        val px = text.take(32 * h).map(_.toLong)
+        val total = px.sum
+        (0 until h).foreach { y =>
+          val row = px.slice(y * 32, y * 32 + 32)
+          val hash = (0 until 8).map { x =>
+            val cs = row.slice(4 * x, 4 * x + 4).sum
+            if (cs * 8 * h > total) 1L << x else 0L
+          }.sum
+          assert(out((id, y.toLong)) == ((row.sum, hash)),
+            s"doc $id row $y")
+          checked += 1
+        }
+      }
+    }
+    assert(checked == out.size)
+    // every row hash stays within its 8 bits
+    out.values.foreach { case (_, rh) => assert(rh >= 0L && rh <= 255L) }
+  }
 }
