@@ -355,6 +355,52 @@ object Multimodal {
   def mmPhash(s: SparkSession, dir: String): DataFrame =
     phashImages(mediaFromDocuments(s, dir)).toDF()
 
+  /** Image near-duplicate detection by banded perceptual-hash LSH:
+    * the 64-bit aHash (8 rows × 8 bits from [[phashImages]]) splits
+    * into 4 16-bit bands; images sharing ANY band become candidates
+    * via a plain equi-join on (band, band_value) — the
+    * `llm_minhash_neardup` blocking shape, never an all-pairs
+    * comparison — and candidates are verified by exact Hamming
+    * distance (≤6 of 64 bits ⇒ near-duplicate). Only full-height
+    * (32×8) rasters enter: banded Hamming between different
+    * geometries is not meaningful. At 100 TB the candidate join
+    * shuffles (id, band, int) triples only; the blobs were left
+    * behind at decode time. Band width must track corpus size: 4×16
+    * bits is right for ~10⁴–10⁵ images (bucket occupancy stays O(1));
+    * at billions of images use fewer, wider bands (2×32) so the
+    * per-bucket candidate blow-up stays bounded — same dial as
+    * `llm_minhash_neardup`'s band/row split. Ties/dups: candidates
+    * are DISTINCT (a pair sharing 2 bands appears once), pairs are
+    * a<b. */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val ph = phashImages(mediaFromDocuments(s, dir)).toDF()
+    val full = ph.groupBy("media_id").agg(max(col("y")).as("ymax"))
+      .filter(col("ymax") === 7).select("media_id")
+    val bands = ph.join(full, "media_id")
+      .groupBy(col("media_id"), expr("y div 2").as("band"))
+      .agg(sum(when(col("y") % 2 === 0, col("row_hash"))
+        .otherwise(col("row_hash") * 256)).as("bval"))
+    val a = bands.select(col("media_id").as("doc_a"), col("band"),
+      col("bval"))
+    val b = bands.select(col("media_id").as("doc_b"), col("band"),
+      col("bval").as("bvb"))
+    val cand = a.join(b, a("band") === b("band") &&
+        a("bval") === b("bvb") && a("doc_a") < b("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val xa = bands.select(col("media_id").as("ja"),
+      col("band").as("jband"), col("bval").as("va"))
+    val xb = bands.select(col("media_id").as("jb"),
+      col("band").as("kband"), col("bval").as("vb"))
+    cand.join(xa, col("doc_a") === col("ja"))
+      .join(xb, col("doc_b") === col("jb") && col("jband") === col("kband"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(va ^ vb)").cast("long").as("bh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("bh")).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("hamming") <= 6).cast("int").as("is_near"))
+  }
+
   /** Content-addressed blob dedup: hash the opaque media bytes, count
     * unique blobs and the byte savings of storing each once. At 100 TB
     * the blobs are the table — dedup-before-decode is the first thing a
@@ -423,7 +469,8 @@ object Multimodal {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
     "mm_blob_dedup" -> (mmBlobDedup _),
-    "mm_phash" -> (mmPhash _))
+    "mm_phash" -> (mmPhash _),
+    "mm_phash_neardup" -> (mmPhashNeardup _))
 
   val oracle: Map[String, String] = Map(
     // ASCII ⇒ md5(chars) == md5(blob bytes), LENGTH(chars) == file size
@@ -522,5 +569,38 @@ object Multimodal {
         |  CAST(r.row_sum AS BIGINT) AS row_sum,
         |  CAST(b.row_hash AS BIGINT) AS row_hash
         |FROM bits b JOIN rsum r ON b.doc_id = r.doc_id AND b.y = r.y"""
-        .stripMargin)
+        .stripMargin,
+    // Full-height (h=8) images only; band values and Hamming terms are
+    // small exact integers in both engines.
+    "mm_phash_neardup" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 256),
+        |px AS (SELECT doc_id, g.p, ascii(substr(text, g.p + 1, 1)) AS v
+        |       FROM m CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g),
+        |tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
+        |cell AS (SELECT doc_id, p // 32 AS y, (p % 32) // 4 AS x,
+        |           sum(v) AS cs
+        |         FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT c.doc_id, c.y,
+        |           sum(CASE WHEN c.cs * 64 > t.t
+        |               THEN 1 << c.x ELSE 0 END) AS rh
+        |         FROM cell c JOIN tot t USING (doc_id) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, y // 2 AS band,
+        |            CAST(sum(rh * CASE WHEN y % 2 = 0 THEN 1 ELSE 256 END)
+        |                 AS BIGINT) AS bval
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band
+        |           AND a.bval = b.bval AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(sum(bit_count(xor(x.bval, y2.bval))) AS BIGINT)
+        |            AS hamming
+        |        FROM cand c
+        |          JOIN bands x ON x.doc_id = c.doc_a
+        |          JOIN bands y2 ON y2.doc_id = c.doc_b
+        |            AND y2.band = x.band
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming,
+        |  CAST(hamming <= 6 AS INTEGER) AS is_near
+        |FROM ham""".stripMargin)
 }

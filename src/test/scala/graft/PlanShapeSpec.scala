@@ -41,6 +41,13 @@ class PlanShapeSpec extends SparkTestBase {
       "keyless interval join regressed to a nested loop")
   }
 
+  test("mm_phash_neardup: banded LSH join, never all-pairs") {
+    val p = physical("mm_phash_neardup")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      "image near-dup regressed to an all-pairs comparison")
+  }
+
   test("llm_minhash_sigs: signature agg is hash-based, not sort-based") {
     // The graded query serves the staged index memo (a plan-free
     // checkpoint scan), so the aggregate property lives on the BUILD
