@@ -138,6 +138,39 @@ object Analytics10 {
   }
 
   // ---------------------------------------------------------------------
+  // llm_ccnet_buckets
+  // ---------------------------------------------------------------------
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    * document by its average negative log-probability under the corpus
+    * unigram LM (the `llm_logprob` metric), then split EACH LANGUAGE
+    * into head/middle/tail terciles of that score — the standard
+    * "keep head+middle for pre-training" gate. The tercile here is the
+    * exact spelling (ntile over a per-lang total order on
+    * (score, doc_id)); at 100 TB CCNet itself uses FIXED perplexity
+    * cutoffs learned once on a sample — two approx-quantile cuts per
+    * language broadcast to a comparison — precisely so no global
+    * per-lang sort is needed; the graded query keeps the exact form
+    * because the oracle must agree bit-for-bit. Score is rounded to 4
+    * decimals (the `llm_logprob` rule) so the double Σln across
+    * engines cannot flip a tercile boundary. */
+  def llmCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum("n").as("nt"))
+    val score = tok.join(uni, "t").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(expr("ROUND(-SUM(LN(n / nt)) / COUNT(*), 4)").as("score"))
+    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    d.select("doc_id", "lang").join(score, "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  // ---------------------------------------------------------------------
   // scan_zorder_scaled
   // ---------------------------------------------------------------------
 
@@ -200,6 +233,7 @@ object Analytics10 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_gopher_rules" -> (textGopherRules _),
     "graph_label_prop" -> (graphLabelProp _),
+    "llm_ccnet_buckets" -> (llmCcnetBuckets _),
     "scan_zorder_scaled" -> (scanZorder _))
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +291,21 @@ object Analytics10 {
         |  WHERE cnt = mx GROUP BY iter, src)
         |SELECT CAST(nk AS BIGINT) AS nk, CAST(label AS BIGINT) AS label
         |FROM lp WHERE iter = 4""".stripMargin,
+    "llm_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nt FROM uni),
+        |score AS (SELECT doc_id,
+        |            ROUND(-SUM(LN(uni.n / tot.nt)) / COUNT(*), 4) AS score
+        |          FROM tok JOIN uni ON tok.t = uni.t CROSS JOIN tot
+        |          GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, s.score,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang
+        |                      ORDER BY s.score, d.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM documents d JOIN score s ON d.doc_id = s.doc_id""".stripMargin,
     "scan_zorder_scaled" ->
       """SELECT o_orderkey, o_custkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice

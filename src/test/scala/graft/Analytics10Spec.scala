@@ -80,6 +80,27 @@ class Analytics10Spec extends SparkTestBase {
     out.values.foreach(l => assert(out.contains(l)))
   }
 
+  test("llm_ccnet_buckets: per-lang terciles are balanced and ordered") {
+    val out = q("llm_ccnet_buckets").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      val counts = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      assert(counts.max - counts.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+      // ordering by (score, doc_id): every head key <= every middle
+      // key <= every tail key
+      def keys(b: String) = rows.filter(_._2 == b).map(r => (r._3, r._4))
+      val hd = keys("head"); val md = keys("middle"); val tl = keys("tail")
+      implicit val ord: Ordering[(Double, Long)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      if (hd.nonEmpty && md.nonEmpty) assert(ord.lteq(hd.max, md.min))
+      if (md.nonEmpty && tl.nonEmpty) assert(ord.lteq(md.max, tl.min))
+    }
+  }
+
   test("scan_zorder_scaled: content matches the unclustered filter") {
     val got = q("scan_zorder_scaled").collect()
       .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
