@@ -203,13 +203,20 @@ object Analytics10 {
     * table. The zval column exists only at write time; readers see the
     * plain schema and plain predicates. */
   def scanZorder(s: SparkSession, dir: String): DataFrame = {
-    val path = sys.props("java.io.tmpdir") + "/graft_zorder_orders"
+    // Keyed by the INPUT dir: two invocations against different
+    // corpora (the dual-scale gate, the empty-input spec) must not
+    // clobber each other's layout mid-read.
+    val path = sys.props("java.io.tmpdir") + "/graft_zorder_orders_" +
+      java.lang.Integer.toHexString(dir.hashCode)
     val day = datediff(col("o_orderdate").cast("date"),
       lit("1995-01-01").cast("date")).cast("long")
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"))
-    val dims = o.agg(max(col("o_custkey")), max(day)).head()
+    // max() over zero rows is null — coalesce keeps the empty-corpus
+    // path (partition-pruned-everything / first incremental run) alive.
+    val dims = o.agg(coalesce(max(col("o_custkey")), lit(1L)),
+      coalesce(max(day), lit(1L))).head()
     val xm = math.max(dims.getLong(0), 1L)
     val ym = math.max(dims.getLong(1), 1L)
     // Column./ is double division; the cast truncates back to the

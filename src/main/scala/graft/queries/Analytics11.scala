@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-10 session-2 widening: corpus-curation and graph-census
+  * operators still absent from the 264-query surface.
+  *
+  *  - `llm_lang_temperature` — temperature-scaled multilingual
+  *    sampling weights (Conneau et al. 2020's XLM-R α=0.3 rule, also
+  *    mT5's mixing law): the standard knob that up-samples low-resource
+  *    languages when composing a pre-training mixture.
+  *  - `text_ttr` — per-document lexical diversity (type-token ratio +
+  *    hapax fraction), a quality signal orthogonal to the Gopher rule
+  *    battery (a 200-word doc of 5 distinct words passes Gopher's
+  *    bounds but screams template spam here).
+  *  - `agg_heaps_law` — Heaps'-law vocabulary-growth fit V(N) = K·N^β
+  *    over TRIGRAM vocabulary (the fixture's unigram vocabulary
+  *    saturates at 31 types — a rule that cannot fire would grade
+  *    nothing, so the census runs on the n-gram space that actually
+  *    grows). Corpus-level dedup health is routinely monitored this
+  *    way: a β collapse signals large-scale duplication.
+  *  - `graph_hits` — Kleinberg's HITS (2 synchronous unnormalized
+  *    rounds) over the supplier→part bipartite graph. Kept INTEGER by
+  *    skipping per-round normalization: with h₀=1, every subsequent
+  *    score is a sum of integer scores, so both engines agree
+  *    bit-for-bit and the ranking equals the normalized one (scores
+  *    differ from normalized HITS by one global constant per round).
+  *  - `graph_kcore` — synchronous k-core peeling (k=4, 8 rounds) of
+  *    the thresholded nation trade graph: each round drops every node
+  *    with fewer than 4 surviving neighbors; survivors + final degrees
+  *    are the densest trading core. Same edge rule as
+  *    `graph_triangles`/`graph_label_prop`; converges on the fixture
+  *    in 1 round, and the fixed round count (not a data-dependent
+  *    loop) keeps engine/oracle lockstep even pre-convergence.
+  *
+  * Determinism rules as in [[Analytics]]: integer counts until the
+  * final division, int/int double divisions (IEEE-exact both engines),
+  * doubles only where canon's 1e-6 rounding absorbs libm ulps
+  * (LN/POW here), total orders under every LIMIT.
+  */
+object Analytics11 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------------
+  // llm_lang_temperature
+  // ---------------------------------------------------------------------
+
+  /** Temperature-scaled language sampling weights: p_l = n_l / N over
+    * whitespace tokens, q_l ∝ p_l^0.3, and the effective up/down-
+    * sampling factor q_l / p_l. Token counts come from
+    * `size(split(...))` summed per language — no explode, so the
+    * corpus-sized pass is a pure map + one |langs|-row combine; the
+    * two normalization constants ride along as broadcast one-row
+    * cross joins. At 100 TB this is one of the cheapest queries in
+    * the engine: a single map-side-combinable aggregation on a key
+    * with bounded cardinality. */
+  def llmLangTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perLang = t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val tot = perLang.agg(sum("n_tokens").as("nt"))
+    val scored = perLang.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("nt"))
+      .withColumn("qraw", pow(col("p"), lit(0.3)))
+    val sq = scored.agg(sum("qraw").as("sq"))
+    scored.crossJoin(broadcast(sq))
+      .select(col("lang"), col("n_tokens"), col("p"),
+        (col("qraw") / col("sq")).as("q"),
+        (col("qraw") / col("sq") / col("p")).as("boost"))
+  }
+
+  // ---------------------------------------------------------------------
+  // text_ttr
+  // ---------------------------------------------------------------------
+
+  /** Per-document type-token ratio and hapax-legomenon fraction. The
+    * token relation groups on (doc_id, token) first — map-side
+    * combinable, and the only shuffle keyed by something corpus-sized —
+    * then collapses to one row per document. Counts stay integer; the
+    * two ratios are int/int double divisions, IEEE-identical across
+    * engines. */
+  def textTtr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+
+  // ---------------------------------------------------------------------
+  // agg_heaps_law
+  // ---------------------------------------------------------------------
+
+  /** Heaps'-law fit over trigram vocabulary: V(N) at ten cumulative
+    * doc-id prefixes, then the OLS slope/intercept of ln V on ln N
+    * (β ≈ 0.81 on the fixture; K = exp(intercept)). The corpus pass
+    * produces two SMALL relations — per-doc trigram counts (|docs|
+    * rows) and per-type first-doc (|vocab| rows) — and the ten
+    * thresholds broadcast onto each for the cumulative censuses, so
+    * nothing corpus-sized is ever joined to anything but a 10-row
+    * relation. All censuses are integer; LN/regr land inside canon's
+    * 1e-6 rounding. The prefix variable is doc_id order — at 100 TB
+    * one would use ingestion order or a hash order, same plan. */
+  def aggHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val tri = d.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ts) >= 3
+        |  THEN transform(sequence(1, size(ts) - 2),
+        |         i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))
+        |  ELSE array() END""".stripMargin)).as("g"))
+    val perDoc = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val firstDoc = tri.groupBy("g").agg(min("doc_id").as("fd"))
+    val mx = d.agg(max("doc_id").as("m"))
+    val th = s.range(1, 11).toDF("i").crossJoin(broadcast(mx))
+      .select(col("i"), expr("m * i DIV 10").as("cut"))
+    val nn = broadcast(th).join(perDoc, col("doc_id") <= col("cut"))
+      .groupBy("i").agg(sum("n").cast("long").as("nn"))
+    val vv = broadcast(th).join(firstDoc, col("fd") <= col("cut"))
+      .groupBy("i").agg(count(lit(1)).as("vv"))
+    nn.join(vv, "i")
+      .agg(
+        regr_slope(log(col("vv").cast("double")),
+          log(col("nn").cast("double"))).as("beta"),
+        exp(regr_intercept(log(col("vv").cast("double")),
+          log(col("nn").cast("double")))).as("k"),
+        max("nn").as("n_total"), max("vv").as("v_total"))
+  }
+
+  // ---------------------------------------------------------------------
+  // graph_hits
+  // ---------------------------------------------------------------------
+
+  /** Two unnormalized HITS rounds over distinct supplier→part edges:
+    * a₁(p) = indegree, h₁(s) = Σ a₁ over s's parts, a₂(p) = Σ h₁ over
+    * p's suppliers; top 15 authorities under the (score desc, partkey)
+    * total order. Each round is one equi-join on a bounded key plus a
+    * map-side-combinable sum — two shuffles total beyond the distinct.
+    * Integer arithmetic throughout (see object scaladoc) so there is
+    * no float-merge-order hazard in the ranking. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("a"))
+    val h1 = e.join(a1, "p").groupBy("s").agg(sum("a").as("h"))
+    val a2 = e.join(h1, "s").groupBy("p").agg(sum("h").as("authority"))
+    a2.orderBy(col("authority").desc, col("p"))
+      .limit(15)
+      .select(col("p").cast("long").as("p_partkey"),
+        col("authority").cast("long").as("authority"))
+  }
+
+  // ---------------------------------------------------------------------
+  // graph_kcore
+  // ---------------------------------------------------------------------
+
+  /** k=4 core of the thresholded nation trade graph via 8 synchronous
+    * peel rounds. The scale-heavy pass (4-table star → symmetrized
+    * edge list) runs once, collapsed to one partition and
+    * checkpointed exactly as in [[Analytics10.graphLabelProp]]; each
+    * peel round is two semi-join-shaped joins + one count on the
+    * ≤2·|nations|² relation, re-checkpointed so the plan stays linear
+    * in rounds (the survivor set is referenced twice per round —
+    * without the checkpoint the lineage doubles every round). Output:
+    * surviving nations with their within-core degree. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier")
+      .foreach(n => Tables.load(s, dir, n)
+        .createOrReplaceTempView("graft_kc_" + n))
+    val sym = s.sql(
+      """WITH pair AS (
+        |  SELECT c.c_nationkey AS na, s.s_nationkey AS nb, count(*) AS cnt
+        |  FROM graft_kc_lineitem l
+        |    JOIN graft_kc_orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN graft_kc_customer c ON o.o_custkey = c.c_custkey
+        |    JOIN graft_kc_supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT least(na, nb) AS a, greatest(na, nb) AS b,
+        |          sum(cnt) AS cnt
+        |        FROM pair GROUP BY 1, 2),
+        |tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM und),
+        |edges AS (SELECT a, b FROM und CROSS JOIN tot
+        |          WHERE cnt * np * 100 > 115 * t)
+        |SELECT a AS src, b AS dst FROM edges
+        |UNION ALL SELECT b, a FROM edges""".stripMargin)
+      .coalesce(1)
+      .localCheckpoint(eager = true)
+    def coreDeg(alive: DataFrame): DataFrame =
+      sym.join(alive.withColumnRenamed("nk", "src"), "src")
+        .join(alive.withColumnRenamed("nk", "dst"), "dst")
+        .groupBy("src").agg(count(lit(1)).as("d"))
+    var alive = sym.select(col("src").as("nk")).distinct()
+      .coalesce(1).localCheckpoint(eager = true)
+    for (_ <- 1 to 8) {
+      alive = coreDeg(alive)
+        .filter(col("d") >= 4)
+        .select(col("src").as("nk"))
+        .coalesce(1).localCheckpoint(eager = true)
+    }
+    coreDeg(alive).select(col("src").cast("long").as("nk"),
+      col("d").cast("long").as("deg"))
+  }
+
+  // ---------------------------------------------------------------------
+  // events_markov
+  // ---------------------------------------------------------------------
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: lag(event_type) under the (ts, event_id) total order —
+    * the event_id tie-break matters, duplicate timestamps within a
+    * user would otherwise make lag() nondeterministic — then integer
+    * transition counts and the row-normalized probabilities. One
+    * shuffle on user_id for the window, then an aggregation whose key
+    * space is |types|² — bounded, so the output never scales with the
+    * data. */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy("prev").agg(sum("cnt").as("n"))
+    tr.join(tot, "prev")
+      .select(col("prev"), col("next"), col("cnt"),
+        (col("cnt").cast("double") / col("n")).as("p"))
+  }
+
+  // ---------------------------------------------------------------------
+  // agg_kaplan_meier
+  // ---------------------------------------------------------------------
+
+  /** Kaplan-Meier survival curve for time-to-first-purchase with a
+    * fixed 48-hour administrative censoring horizon: per user, the
+    * hours from their first event to their first purchase (censored at
+    * 48 h when the purchase is later or absent — both censoring causes
+    * fire on the fixture: 111 events / 39 censored at sf0.01). The
+    * estimator Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) is computed as
+    * exp(Σ ln(…)) over the event-time relation, whose size is bounded
+    * by the horizon (≤49 rows) — the per-user pass is two grouped
+    * aggregations and a left join, all map-side combinable, and the
+    * unpartitioned window only ever sees the bounded relation. Hour
+    * arithmetic is truncate-then-subtract on epoch seconds (identical
+    * to DuckDB's second-boundary count), so durations are integers. */
+  def aggKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val u = ev.groupBy("user_id").agg(min("ts").as("f"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("fp"))
+    val hours = expr(
+      "(unix_timestamp(fp) - unix_timestamp(f)) DIV 3600")
+    val d = u.join(p, Seq("user_id"), "left")
+      .select(
+        when(col("fp").isNotNull && hours <= 48, hours)
+          .otherwise(48L).as("dur"),
+        when(col("fp").isNotNull && hours <= 48, 1L)
+          .otherwise(0L).as("obs"))
+    val g = d.groupBy("dur")
+      .agg(count(lit(1)).as("total"), sum("obs").as("d_events"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    g.withColumn("n_risk", sum("total").over(wDesc))
+      .filter(col("d_events") > 0)
+      .select(col("dur").as("t_hours"), col("n_risk"), col("d_events"),
+        exp(sum(log(lit(1.0) -
+          col("d_events").cast("double") / col("n_risk"))).over(wAsc))
+          .as("s"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov" -> (eventsMarkov _),
+    "agg_kaplan_meier" -> (aggKaplanMeier _),
+    "llm_lang_temperature" -> (llmLangTemperature _),
+    "text_ttr" -> (textTtr _),
+    "agg_heaps_law" -> (aggHeapsLaw _),
+    "graph_hits" -> (graphHits _),
+    "graph_kcore" -> (graphKcore _))
+
+  /** Shared star-join + threshold + symmetrize text for the nation
+    * graph oracles (identical to the graph_triangles family). */
+  private val symCte: String =
+    """pair AS (SELECT c.c_nationkey AS na, s.s_nationkey AS nb,
+      |           count(*) AS cnt
+      |         FROM lineitem l
+      |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |           JOIN customer c ON o.o_custkey = c.c_custkey
+      |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |         WHERE c.c_nationkey <> s.s_nationkey
+      |         GROUP BY 1, 2),
+      |und AS (SELECT least(na, nb) AS a, greatest(na, nb) AS b,
+      |          sum(cnt) AS cnt
+      |        FROM pair GROUP BY 1, 2),
+      |tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM und),
+      |edges AS (SELECT a, b FROM und CROSS JOIN tot
+      |          WHERE cnt * np * 100 > 115 * t),
+      |sym AS (SELECT a AS src, b AS dst FROM edges
+      |        UNION ALL SELECT b, a FROM edges)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "events_markov" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, event_type AS next, COUNT(*) AS cnt
+        |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, SUM(cnt) AS n FROM tr GROUP BY 1)
+        |SELECT tr.prev, tr.next, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt AS DOUBLE) / n AS p
+        |FROM tr JOIN tot USING(prev)""".stripMargin,
+    "agg_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1),
+        |p AS (SELECT user_id, MIN(ts) AS fp FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT
+        |        CASE WHEN fp IS NOT NULL
+        |              AND date_diff('second', f, fp) // 3600 <= 48
+        |             THEN date_diff('second', f, fp) // 3600
+        |             ELSE 48 END AS dur,
+        |        CASE WHEN fp IS NOT NULL
+        |              AND date_diff('second', f, fp) // 3600 <= 48
+        |             THEN 1 ELSE 0 END AS obs
+        |      FROM u LEFT JOIN p USING(user_id)),
+        |g AS (SELECT dur, COUNT(*) AS total, SUM(obs) AS d_events
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT dur, d_events,
+        |        SUM(total) OVER (ORDER BY dur DESC) AS n_risk
+        |      FROM g)
+        |SELECT CAST(dur AS BIGINT) AS t_hours,
+        |  CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d_events AS BIGINT) AS d_events,
+        |  EXP(SUM(LN(1.0 - CAST(d_events AS DOUBLE) / n_risk))
+        |      OVER (ORDER BY dur)) AS s
+        |FROM r WHERE d_events > 0""".stripMargin,
+    "llm_lang_temperature" ->
+      """WITH pl AS (SELECT lang, SUM(len(string_split(text, ' ')))
+        |              AS n_tokens
+        |            FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS nt FROM pl),
+        |s AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        CAST(n_tokens AS DOUBLE) / nt AS p,
+        |        POW(CAST(n_tokens AS DOUBLE) / nt, 0.3) AS qraw
+        |      FROM pl CROSS JOIN tot),
+        |sq AS (SELECT SUM(qraw) AS sq FROM s)
+        |SELECT lang, n_tokens, p, qraw / sq AS q,
+        |  (qraw / sq) / p AS boost
+        |FROM s CROSS JOIN sq""".stripMargin,
+    "text_ttr" ->
+      """WITH tok AS (SELECT doc_id,
+        |               unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+        |        SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |      FROM tc GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_hapax AS BIGINT) AS n_hapax,
+        |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac
+        |FROM a""".stripMargin,
+    "agg_heaps_law" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |tri AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(ts) - 1),
+        |            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |        FROM d),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1),
+        |firstdoc AS (SELECT g, MIN(doc_id) AS fd FROM tri GROUP BY 1),
+        |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |th AS (SELECT i, (m * i) // 10 AS cut
+        |       FROM range(1, 11) r(i) CROSS JOIN mx),
+        |pts AS (SELECT th.i,
+        |          (SELECT SUM(n) FROM perdoc
+        |           WHERE doc_id <= th.cut) AS nn,
+        |          (SELECT COUNT(*) FROM firstdoc
+        |           WHERE fd <= th.cut) AS vv
+        |        FROM th)
+        |SELECT regr_slope(LN(CAST(vv AS DOUBLE)),
+        |         LN(CAST(nn AS DOUBLE))) AS beta,
+        |       EXP(regr_intercept(LN(CAST(vv AS DOUBLE)),
+        |         LN(CAST(nn AS DOUBLE)))) AS k,
+        |       CAST(MAX(nn) AS BIGINT) AS n_total,
+        |       CAST(MAX(vv) AS BIGINT) AS v_total
+        |FROM pts""".stripMargin,
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |           FROM lineitem),
+        |a1 AS (SELECT p, COUNT(*) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT e.s, SUM(a1.a) AS h FROM e JOIN a1 USING(p)
+        |       GROUP BY 1),
+        |a2 AS (SELECT e.p, SUM(h1.h) AS a FROM e JOIN h1 USING(s)
+        |       GROUP BY 1)
+        |SELECT CAST(p AS BIGINT) AS p_partkey,
+        |  CAST(a AS BIGINT) AS authority
+        |FROM a2 ORDER BY a DESC, p LIMIT 15""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH RECURSIVE
+        |$symCte,
+        |kc(iter, ns) AS (
+        |  SELECT 0, (SELECT list(DISTINCT src ORDER BY src) FROM sym)
+        |  UNION ALL
+        |  SELECT iter + 1,
+        |    (SELECT COALESCE(list(src ORDER BY src), []) FROM
+        |       (SELECT e.src, COUNT(*) AS c FROM sym e
+        |        WHERE list_contains(kc.ns, e.src)
+        |          AND list_contains(kc.ns, e.dst)
+        |        GROUP BY 1) t WHERE c >= 4)
+        |  FROM kc WHERE iter < 8)
+        |SELECT CAST(e.src AS BIGINT) AS nk,
+        |  CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM sym e, (SELECT ns FROM kc WHERE iter = 8) f
+        |WHERE list_contains(f.ns, e.src)
+        |  AND list_contains(f.ns, e.dst)
+        |GROUP BY 1""".stripMargin)
+}

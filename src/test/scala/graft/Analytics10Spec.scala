@@ -122,7 +122,8 @@ class Analytics10Spec extends SparkTestBase {
 
   test("scan_zorder_scaled: the layout prunes files on BOTH axes") {
     q("scan_zorder_scaled").collect() // materialize the layout
-    val path = sys.props("java.io.tmpdir") + "/graft_zorder_orders"
+    val path = sys.props("java.io.tmpdir") + "/graft_zorder_orders_" +
+      java.lang.Integer.toHexString(sf.hashCode)
     // Per-file min/max stats, as parquet footers would expose them.
     val stats = spark.read.parquet(path)
       .withColumn("f", input_file_name())

@@ -1,0 +1,194 @@
+package graft
+
+/** Semantic pins for the round-10 session-2 batch
+  * ([[graft.queries.Analytics11]]): temperature-mixing algebra, a
+  * per-doc TTR replica, Heaps-fit sanity, an integer-HITS replica, and
+  * the k-core peel invariants. */
+class Analytics11Spec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("llm_lang_temperature: weights normalize and flatten the mix") {
+    val out = q("llm_lang_temperature").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("p"), r.getAs[Double]("q"),
+        r.getAs[Double]("boost")))
+    assert(out.length >= 2)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9)
+    // α<1 flattens: every language's q sits strictly between its p and
+    // the uniform share, so minority languages are up-sampled …
+    val u = 1.0 / out.length
+    out.foreach { case (lang, _, p, qq, boost) =>
+      if (p < u) assert(qq > p && boost > 1.0, s"$lang not up-sampled")
+      if (p > u) assert(qq < p && boost < 1.0, s"$lang not down-sampled")
+      assert(math.abs(boost - qq / p) < 1e-12)
+    }
+    // … and the ranking by mass is preserved (q is monotone in p).
+    val byP = out.sortBy(_._3).map(_._1).toSeq
+    assert(out.sortBy(_._4).map(_._1).toSeq == byP)
+  }
+
+  test("text_ttr matches a per-document driver replica") {
+    val out = q("text_ttr").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("hapax_frac"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(out.size == docs.length)
+    docs.foreach { r =>
+      val cnt = r.getString(1).split(" ", -1).toSeq
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val nTok = cnt.values.sum.toLong
+      val nTyp = cnt.size.toLong
+      val nHap = cnt.values.count(_ == 1).toLong
+      val (gt, gy, gh, ttr, hf) = out(r.getLong(0))
+      assert((gt, gy, gh) == ((nTok, nTyp, nHap)), s"doc ${r.getLong(0)}")
+      assert(ttr == nTyp.toDouble / nTok)
+      assert(hf == nHap.toDouble / nTyp)
+    }
+  }
+
+  test("agg_heaps_law: sublinear growth with a faithful endpoint") {
+    val r = q("agg_heaps_law").collect().head
+    val beta = r.getAs[Double]("beta")
+    val k = r.getAs[Double]("k")
+    val nTot = r.getAs[Long]("n_total")
+    val vTot = r.getAs[Long]("v_total")
+    // Trigram vocabulary grows sub-linearly but genuinely (the unigram
+    // space saturates — the reason this census runs on trigrams).
+    assert(beta > 0.3 && beta < 1.0, s"beta=$beta")
+    assert(k > 0.0)
+    assert(vTot > 100 && vTot <= nTot)
+    // The fitted curve reproduces the full-corpus endpoint within 25%
+    // (OLS in log space, 10 points — a sanity bound, not a tolerance).
+    val fitted = k * math.pow(nTot.toDouble, beta)
+    assert(math.abs(fitted - vTot) / vTot < 0.25,
+      s"fit $fitted vs observed $vTot")
+  }
+
+  test("graph_hits matches an integer driver replica and is total-ordered") {
+    val out = q("graph_hits").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("authority")))
+    assert(out.length == 15)
+    // Strictly decreasing under (authority desc, partkey asc).
+    out.sliding(2).foreach { case Array((p1, a1), (p2, a2)) =>
+      assert(a1 > a2 || (a1 == a2 && p1 < p2))
+    }
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val a1 = e.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val h1 = e.groupBy(_._1).view
+      .mapValues(_.map(x => a1(x._2)).sum).toMap
+    val a2 = e.groupBy(_._2).view
+      .mapValues(_.map(x => h1(x._1)).sum).toMap
+    val want = a2.toSeq.sortBy { case (p, a) => (-a, p) }.take(15)
+    assert(out.toSeq == want)
+  }
+
+  test("events_markov: rows normalize and counts census the sequences") {
+    val out = q("events_markov").collect()
+      .map(r => (r.getAs[String]("prev"), r.getAs[String]("next"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("p")))
+    assert(out.nonEmpty)
+    // Each row of the transition matrix sums to 1 and p = cnt/rowsum.
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val n = rows.map(_._3).sum
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+      rows.foreach(r => assert(r._4 == r._3.toDouble / n))
+    }
+    // Total transitions = total events - one per user (lag drops one).
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(out.map(_._3).sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+  }
+
+  test("agg_kaplan_meier: monotone step curve with live censoring") {
+    val out = q("agg_kaplan_meier").collect()
+      .map(r => (r.getAs[Long]("t_hours"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Double]("s")))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    // S is strictly decreasing at event times, within (0, 1].
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 < a._4); assert(b._2 < a._2)
+    }
+    out.foreach { case (t, n, d, s) =>
+      assert(t >= 0 && t <= 48); assert(d >= 1 && d <= n)
+      assert(s > 0.0 - 1e-12 && s <= 1.0)
+    }
+    // The product form holds exactly: S(t_i) = S(t_{i-1})·(1 - d/n).
+    out.foldLeft(1.0) { case (prev, (_, n, d, s)) =>
+      val want = prev * (1.0 - d.toDouble / n)
+      assert(math.abs(s - want) < 1e-9); s
+    }
+    // Administrative censoring fired: some users never reach the event,
+    // so the last at-risk count exceeds the remaining event count.
+    assert(out.last._2 > out.last._3)
+  }
+
+  test("mm_vad_segments: islands are maximal voiced runs") {
+    val out = q("mm_vad_segments").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_end"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("energy")))
+    assert(out.length > out.map(_._1).distinct.length,
+      "gate never alternated — some blob must yield multiple segments")
+    out.foreach { case (_, s0, e0, n, en) =>
+      assert(e0 - s0 + 1 == n)
+      assert(en >= 3000L * n, "every member frame passed the gate")
+    }
+    // Segments of one media never touch (maximality of islands).
+    out.groupBy(_._1).foreach { case (_, segs) =>
+      segs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1)
+        case _ =>
+      }
+    }
+  }
+
+  test("graph_kcore: survivors satisfy k, removed nodes were peelable") {
+    val out = q("graph_kcore").collect()
+      .map(r => r.getAs[Long]("nk") -> r.getAs[Long]("deg")).toMap
+    assert(out.nonEmpty)
+    // Every survivor keeps >= 4 within-core neighbors (the defining
+    // property of a 4-core once the peel has converged).
+    out.values.foreach(d => assert(d >= 4, s"survivor below k: $out"))
+    // The peel actually fired: some node of the full graph is gone.
+    Seq("lineitem", "orders", "customer", "supplier").foreach(n =>
+      spark.read.parquet(s"$sf/$n.parquet")
+        .createOrReplaceTempView("kcs_" + n))
+    val und = spark.sql(
+      """SELECT least(na, nb) AS a, greatest(na, nb) AS b, sum(cnt) AS cnt
+        |FROM (SELECT c.c_nationkey AS na, s.s_nationkey AS nb,
+        |        count(*) AS cnt
+        |      FROM kcs_lineitem l
+        |        JOIN kcs_orders o ON l.l_orderkey = o.o_orderkey
+        |        JOIN kcs_customer c ON o.o_custkey = c.c_custkey
+        |        JOIN kcs_supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2)
+        |GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+    val tot = und.map(_._3).sum
+    val np = und.length
+    val sym = und.filter { case (_, _, c) => c * np * 100 > 115 * tot }
+      .flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+    val nodes = sym.map(_._1).toSet
+    assert(out.keySet.subsetOf(nodes))
+    assert(out.keySet != nodes, "peel removed nothing — rule is vacuous")
+    // Driver replica of the same 8 synchronous rounds.
+    var alive = nodes
+    for (_ <- 1 to 8) {
+      val deg = sym.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      alive = alive.filter(n => deg.getOrElse(n, 0) >= 4)
+    }
+    val degFinal = sym.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(out == degFinal)
+  }
+}

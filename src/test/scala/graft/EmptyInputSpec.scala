@@ -44,7 +44,13 @@ class EmptyInputSpec extends SparkTestBase {
     // whole-graph summary row — return their one all-null row on empty
     // input by SQL semantics, so they stay out; etl_stock_* read the
     // golden CSV, not the fixture dir)
-    "events_burstiness", "agg_seasonality", "win_sharpe")
+    "events_burstiness", "agg_seasonality", "win_sharpe",
+    // round-10: rule census projection, LPA fixpoint over an empty
+    // edge set, per-lang terciles, perceptual hashes over zero blobs,
+    // and the Z-order rewrite (its max()-funded scale factors must
+    // coalesce, not NPE, when the table prunes to nothing)
+    "text_gopher_rules", "graph_label_prop", "llm_ccnet_buckets",
+    "mm_phash", "mm_phash_neardup", "scan_zorder_scaled")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -52,7 +52,13 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // re-layout must not move a bit
     "etl_stock_obv", "etl_stock_macd", "etl_stock_stochastic",
     "etl_stock_atr", "graph_clustering", "agg_jarque_bera",
-    "agg_levene", "agg_runs_test", "events_burstiness")
+    "agg_levene", "agg_runs_test", "events_burstiness",
+    // round-10: mode-of-neighbors fixpoint, per-lang ntile over a
+    // pinned total order, banded perceptual-hash LSH self-join, and
+    // the Z-order rewrite (repartitionByRange sampling must not
+    // change the probe's answer, only its file layout)
+    "graph_label_prop", "llm_ccnet_buckets", "mm_phash_neardup",
+    "scan_zorder_scaled")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
