@@ -214,34 +214,6 @@ object Analytics11 {
       col("d").cast("long").as("deg"))
   }
 
-  // ---------------------------------------------------------------------
-  // events_markov
-  // ---------------------------------------------------------------------
-
-  /** First-order Markov transition matrix over per-user event-type
-    * sequences: lag(event_type) under the (ts, event_id) total order —
-    * the event_id tie-break matters, duplicate timestamps within a
-    * user would otherwise make lag() nondeterministic — then integer
-    * transition counts and the row-normalized probabilities. One
-    * shuffle on user_id for the window, then an aggregation whose key
-    * space is |types|² — bounded, so the output never scales with the
-    * data. */
-  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tr = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        lag(col("event_type"), 1).over(w).as("prev"))
-      .filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("event_type").as("next"))
-      .agg(count(lit(1)).as("cnt"))
-    val tot = tr.groupBy("prev").agg(sum("cnt").as("n"))
-    tr.join(tot, "prev")
-      .select(col("prev"), col("next"), col("cnt"),
-        (col("cnt").cast("double") / col("n")).as("p"))
-  }
-
-  // ---------------------------------------------------------------------
   // agg_kaplan_meier
   // ---------------------------------------------------------------------
 
@@ -289,7 +261,6 @@ object Analytics11 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_markov" -> (eventsMarkov _),
     "agg_kaplan_meier" -> (aggKaplanMeier _),
     "llm_lang_temperature" -> (llmLangTemperature _),
     "text_ttr" -> (textTtr _),
@@ -318,17 +289,6 @@ object Analytics11 {
       |        UNION ALL SELECT b, a FROM edges)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "events_markov" ->
-      """WITH seq AS (SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |tr AS (SELECT prev, event_type AS next, COUNT(*) AS cnt
-        |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT prev, SUM(cnt) AS n FROM tr GROUP BY 1)
-        |SELECT tr.prev, tr.next, CAST(cnt AS BIGINT) AS cnt,
-        |  CAST(cnt AS DOUBLE) / n AS p
-        |FROM tr JOIN tot USING(prev)""".stripMargin,
     "agg_kaplan_meier" ->
       """WITH u AS (SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1),
         |p AS (SELECT user_id, MIN(ts) AS fp FROM events

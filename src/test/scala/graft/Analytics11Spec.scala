@@ -89,23 +89,6 @@ class Analytics11Spec extends SparkTestBase {
     assert(out.toSeq == want)
   }
 
-  test("events_markov: rows normalize and counts census the sequences") {
-    val out = q("events_markov").collect()
-      .map(r => (r.getAs[String]("prev"), r.getAs[String]("next"),
-        r.getAs[Long]("cnt"), r.getAs[Double]("p")))
-    assert(out.nonEmpty)
-    // Each row of the transition matrix sums to 1 and p = cnt/rowsum.
-    out.groupBy(_._1).foreach { case (_, rows) =>
-      val n = rows.map(_._3).sum
-      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
-      rows.foreach(r => assert(r._4 == r._3.toDouble / n))
-    }
-    // Total transitions = total events - one per user (lag drops one).
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    assert(out.map(_._3).sum ==
-      ev.count() - ev.select("user_id").distinct().count())
-  }
-
   test("agg_kaplan_meier: monotone step curve with live censoring") {
     val out = q("agg_kaplan_meier").collect()
       .map(r => (r.getAs[Long]("t_hours"), r.getAs[Long]("n_risk"),
