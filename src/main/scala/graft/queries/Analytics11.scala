@@ -260,7 +260,125 @@ object Analytics11 {
           .as("s"))
   }
 
+  // ---------------------------------------------------------------------
+  // agg_poisson_bootstrap
+  // ---------------------------------------------------------------------
+
+  /** Bootstrap confidence interval for the mean order value via the
+    * POISSON bootstrap (Chamandy et al. / Kleiner et al.'s
+    * streaming-friendly spelling): instead of drawing n rows with
+    * replacement — which needs global coordination — every row gets an
+    * independent Poisson(1) weight per replicate, so the whole
+    * resample is one map over the data and B partial aggregations.
+    * That is THE scalable bootstrap: at 100 TB each replicate is a
+    * map-side-combinable weighted sum, no resampling shuffle exists,
+    * and B=32 replicates ride one pass through the scan.
+    *
+    * Determinism: the Poisson draw inverts the CDF on a 16-bit
+    * lattice — u16 = first 4 hex digits of md5(orderkey ':' b) —
+    * against integer thresholds ⌊CDF·65536⌋, so weights are
+    * integer-exact and oracle-reproducible (the detU device from
+    * [[LlmText]], keyed per replicate). Prices sum as DECIMAL(18,2);
+    * the CI bounds are the 2nd-smallest / 2nd-largest replicate mean
+    * (explicit order statistics ≈ 3%/97% — no engine percentile
+    * interpolation in the graded path). */
+  def aggPoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val rep = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .select(col("o_orderkey"), col("price"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u16", expr(
+        """(instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 1, 1)) - 1) * 4096
+          | + (instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 2, 1)) - 1) * 256
+          | + (instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 3, 1)) - 1) * 16
+          | + (instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 4, 1)) - 1)""".stripMargin))
+      .withColumn("w", expr(
+        """CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1
+          |     WHEN u16 < 60273 THEN 2 WHEN u16 < 64291 THEN 3
+          |     WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5
+          |     WHEN u16 < 65530 THEN 6 ELSE 7 END""".stripMargin))
+    val means = rep.groupBy("b")
+      .agg((sum(col("w") * col("price")).cast("double") /
+        sum("w").cast("double")).as("m"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"), col("b"))
+    val ranked = means.withColumn("rn", row_number().over(wAsc))
+    val est = t(s, dir, "orders")
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("est"))
+    est.crossJoin(broadcast(
+        ranked.filter(col("rn") === 2).select(col("m").as("ci_lo"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rn") === B - 1).select(col("m").as("ci_hi"))))
+      .select(col("est"), col("ci_lo"), col("ci_hi"),
+        lit(B.toLong).as("n_replicates"))
+  }
+
+  // ---------------------------------------------------------------------
+  // graph_closeness
+  // ---------------------------------------------------------------------
+
+  /** Harmonic closeness centrality (≤4 hops) of the thresholded
+    * nation trade graph: BFS shortest-path distances by frontier
+    * expansion on the checkpointed ≤2·|nations|² edge list, then
+    * H(u) = c₁ + c₂/2 + c₃/3 + c₄/4 over the INTEGER per-distance
+    * counts — the harmonic form handles unreachable pairs without a
+    * convention (they contribute 0), and evaluating the fixed
+    * four-term expression over integer counts leaves no float
+    * merge-order anywhere. The heavy star-join pass runs once;
+    * each BFS round is a broadcast-sized join on the tiny graph. */
+  def graphCloseness(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier")
+      .foreach(n => Tables.load(s, dir, n)
+        .createOrReplaceTempView("graft_cl_" + n))
+    val sym = s.sql(
+      """WITH pair AS (
+        |  SELECT c.c_nationkey AS na, s.s_nationkey AS nb, count(*) AS cnt
+        |  FROM graft_cl_lineitem l
+        |    JOIN graft_cl_orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN graft_cl_customer c ON o.o_custkey = c.c_custkey
+        |    JOIN graft_cl_supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT least(na, nb) AS a, greatest(na, nb) AS b,
+        |          sum(cnt) AS cnt
+        |        FROM pair GROUP BY 1, 2),
+        |tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM und),
+        |edges AS (SELECT a, b FROM und CROSS JOIN tot
+        |          WHERE cnt * np * 100 > 115 * t)
+        |SELECT a AS src, b AS dst FROM edges
+        |UNION ALL SELECT b, a FROM edges""".stripMargin)
+      .coalesce(1)
+      .localCheckpoint(eager = true)
+    var frontier = sym.select(col("src"), col("dst").as("v"),
+      lit(1).as("d"))
+    var dist = frontier
+    for (r <- 2 to 4) {
+      frontier = frontier.alias("f")
+        .join(broadcast(sym.alias("e")), col("f.v") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("v"),
+          lit(r).as("d"))
+        .filter(col("src") =!= col("v"))
+      dist = dist.union(frontier)
+    }
+    dist.groupBy("src", "v").agg(min("d").as("d"))
+      .groupBy("src")
+      .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("d") === 2, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("d") === 3, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("d") === 4, 1L).otherwise(0L)).as("c4"))
+      .select(col("src").cast("long").as("nk"), col("c1"), col("c2"),
+        col("c3"), col("c4"),
+        (col("c1") + col("c2") * 0.5 +
+          col("c3").cast("double") / 3.0 + col("c4") * 0.25)
+          .as("harmonic"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_poisson_bootstrap" -> (aggPoissonBootstrap _),
+    "graph_closeness" -> (graphCloseness _),
     "agg_kaplan_meier" -> (aggKaplanMeier _),
     "llm_lang_temperature" -> (llmLangTemperature _),
     "text_ttr" -> (textTtr _),
@@ -289,6 +407,58 @@ object Analytics11 {
       |        UNION ALL SELECT b, a FROM edges)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_poisson_bootstrap" ->
+      """WITH rep AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    unnest(range(0, 32)) AS b
+        |  FROM orders),
+        |h AS (SELECT price, b,
+        |    (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 4, 1)) - 1) AS u16
+        |  FROM rep),
+        |wts AS (SELECT price, b,
+        |    CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1
+        |         WHEN u16 < 60273 THEN 2 WHEN u16 < 64291 THEN 3
+        |         WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5
+        |         WHEN u16 < 65530 THEN 6 ELSE 7 END AS w
+        |  FROM h),
+        |means AS (SELECT b,
+        |    CAST(SUM(w * price) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+        |  FROM wts GROUP BY b),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn
+        |           FROM means),
+        |est AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |          AS DOUBLE) / COUNT(*) AS est
+        |        FROM orders)
+        |SELECT est.est,
+        |  (SELECT m FROM ranked WHERE rn = 2) AS ci_lo,
+        |  (SELECT m FROM ranked WHERE rn = 31) AS ci_hi,
+        |  CAST(32 AS BIGINT) AS n_replicates
+        |FROM est""".stripMargin,
+    "graph_closeness" ->
+      s"""WITH RECURSIVE
+        |$symCte,
+        |bfs(src, v, d) AS (
+        |  SELECT src, dst, 1 FROM sym
+        |  UNION ALL
+        |  SELECT b.src, e.dst, b.d + 1
+        |  FROM bfs b JOIN sym e ON b.v = e.src
+        |  WHERE b.d < 4 AND b.src <> e.dst),
+        |sp AS (SELECT src, v, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+        |c AS (SELECT src,
+        |        SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS c1,
+        |        SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS c2,
+        |        SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS c3,
+        |        SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS c4
+        |      FROM sp GROUP BY 1)
+        |SELECT CAST(src AS BIGINT) AS nk,
+        |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(c3 AS BIGINT) AS c3, CAST(c4 AS BIGINT) AS c4,
+        |  c1 + c2 * 0.5 + CAST(c3 AS DOUBLE) / 3.0 + c4 * 0.25
+        |    AS harmonic
+        |FROM c""".stripMargin,
     "agg_kaplan_meier" ->
       """WITH u AS (SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1),
         |p AS (SELECT user_id, MIN(ts) AS fp FROM events

@@ -133,6 +133,68 @@ class Analytics11Spec extends SparkTestBase {
     }
   }
 
+  test("agg_poisson_bootstrap: CI brackets the estimate and weights are fair") {
+    val r = q("agg_poisson_bootstrap").collect().head
+    val est = r.getAs[Double]("est")
+    val lo = r.getAs[Double]("ci_lo")
+    val hi = r.getAs[Double]("ci_hi")
+    assert(r.getAs[Long]("n_replicates") == 32L)
+    assert(lo < hi)
+    assert(lo < est && est < hi, s"CI [$lo, $hi] misses estimate $est")
+    // CI width is plausible for n≈1500 iid prices: within an order of
+    // magnitude of 4·sd/√n around the point estimate on each side.
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val mu = o.sum / o.length
+    val sd = math.sqrt(o.map(x => (x - mu) * (x - mu)).sum / (o.length - 1))
+    val se = sd / math.sqrt(o.length.toDouble)
+    assert(hi - lo > 0.5 * se && hi - lo < 8 * se,
+      s"CI width ${hi - lo} implausible vs se $se")
+  }
+
+  test("graph_closeness: BFS counts against a driver Floyd-Warshall") {
+    val out = q("graph_closeness").collect()
+      .map(r => r.getAs[Long]("nk") -> (r.getAs[Long]("c1"),
+        r.getAs[Long]("c2"), r.getAs[Long]("c3"), r.getAs[Long]("c4"),
+        r.getAs[Double]("harmonic"))).toMap
+    assert(out.nonEmpty)
+    Seq("lineitem", "orders", "customer", "supplier").foreach(n =>
+      spark.read.parquet(s"$sf/$n.parquet")
+        .createOrReplaceTempView("cls_" + n))
+    val und = spark.sql(
+      """SELECT least(na, nb) AS a, greatest(na, nb) AS b, sum(cnt) AS cnt
+        |FROM (SELECT c.c_nationkey AS na, s.s_nationkey AS nb,
+        |        count(*) AS cnt
+        |      FROM cls_lineitem l
+        |        JOIN cls_orders o ON l.l_orderkey = o.o_orderkey
+        |        JOIN cls_customer c ON o.o_custkey = c.c_custkey
+        |        JOIN cls_supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2)
+        |GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+    val tot = und.map(_._3).sum
+    val np = und.length
+    val sym = und.filter { case (_, _, c) => c * np * 100 > 115 * tot }
+      .flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+    val nodes = sym.map(_._1).distinct.sorted
+    // Floyd-Warshall on the tiny graph, then distance censuses ≤ 4.
+    val inf = 1 << 20
+    val d = collection.mutable.Map[(Long, Long), Int]()
+      .withDefaultValue(inf)
+    nodes.foreach(n => d((n, n)) = 0)
+    sym.foreach { case (a, b) => d((a, b)) = 1 }
+    for (k <- nodes; i <- nodes; j <- nodes)
+      if (d((i, k)) + d((k, j)) < d((i, j)))
+        d((i, j)) = d((i, k)) + d((k, j))
+    nodes.foreach { n =>
+      def c(k: Int) = nodes.count(v => v != n && d((n, v)) == k).toLong
+      val (g1, g2, g3, g4, h) = out(n)
+      assert((g1, g2, g3, g4) == ((c(1), c(2), c(3), c(4))), s"node $n")
+      assert(h == c(1) + c(2) * 0.5 + c(3).toDouble / 3.0 + c(4) * 0.25)
+    }
+  }
+
   test("graph_kcore: survivors satisfy k, removed nodes were peelable") {
     val out = q("graph_kcore").collect()
       .map(r => r.getAs[Long]("nk") -> r.getAs[Long]("deg")).toMap
