@@ -78,21 +78,24 @@ object Analytics11 {
   // text_ttr
   // ---------------------------------------------------------------------
 
-  /** Per-document type-token ratio and hapax-legomenon fraction. The
-    * token relation groups on (doc_id, token) first — map-side
-    * combinable, and the only shuffle keyed by something corpus-sized —
-    * then collapses to one row per document. Counts stay integer; the
-    * two ratios are int/int double divisions, IEEE-identical across
-    * engines. */
+  /** Per-document type-token ratio and hapax-legomenon fraction,
+    * computed entirely IN-ROW with array higher-order functions: the
+    * token multiset never leaves its document, so the operator is a
+    * pure projection — ZERO shuffle at any scale (the exploded
+    * (doc_id, token) grouping spelling shuffles the whole corpus; the
+    * in-row filter is O(types·tokens) per document, bounded by the
+    * document length cap, and stays inside whole-stage codegen).
+    * Counts stay integer; the two ratios are int/int double
+    * divisions, IEEE-identical across engines. */
   def textTtr(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").cast("long").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_types"),
+        expr("""CAST(size(filter(array_distinct(ts),
+          w -> size(filter(ts, x -> x = w)) = 1)) AS BIGINT)""")
+          .as("n_hapax"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         col("n_hapax"),
         (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
