@@ -50,7 +50,13 @@ class EmptyInputSpec extends SparkTestBase {
     // and the Z-order rewrite (its max()-funded scale factors must
     // coalesce, not NPE, when the table prunes to nothing)
     "text_gopher_rules", "graph_label_prop", "llm_ccnet_buckets",
-    "mm_phash", "mm_phash_neardup", "scan_zorder_scaled")
+    "mm_phash", "mm_phash_neardup", "scan_zorder_scaled",
+    // round-10 session 2 (agg_heaps_law excluded per the
+    // global-aggregate one-null-row rule; the bootstrap's CI cross
+    // joins collapse its one-row estimate to zero rows on empty)
+    "graph_kcore", "graph_hits", "graph_closeness", "text_ttr",
+    "llm_lang_temperature", "agg_kaplan_meier", "agg_poisson_bootstrap",
+    "mm_vad_segments")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -58,7 +58,15 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // the Z-order rewrite (repartitionByRange sampling must not
     // change the probe's answer, only its file layout)
     "graph_label_prop", "llm_ccnet_buckets", "mm_phash_neardup",
-    "scan_zorder_scaled")
+    "scan_zorder_scaled",
+    // round-10 session 2: peel/BFS fixpoints and integer censuses,
+    // the decimal-exact bootstrap, the bounded-window KM fold, and
+    // the mapPartitions VAD framing (frame boundaries must not leak
+    // partition boundaries). agg_heaps_law and llm_lang_temperature
+    // are excluded per the var_samp precedent: their final reduction
+    // sums doubles across partitions, ulp-variant below canon.
+    "graph_kcore", "graph_hits", "graph_closeness", "text_ttr",
+    "agg_kaplan_meier", "agg_poisson_bootstrap", "mm_vad_segments")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
