@@ -292,11 +292,16 @@ object Analytics11 {
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .select(col("o_orderkey"), col("price"),
         explode(sequence(lit(0), lit(B - 1))).as("b"))
+      // one md5 per (row, replicate) — the hash lands in its own
+      // column so the four nibble extracts cannot re-evaluate it
+      .withColumn("h4", substring(
+        md5(concat(col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 4))
       .withColumn("u16", expr(
-        """(instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 1, 1)) - 1) * 4096
-          | + (instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 2, 1)) - 1) * 256
-          | + (instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 3, 1)) - 1) * 16
-          | + (instr('0123456789abcdef', substr(md5(concat(cast(o_orderkey AS STRING), ':', cast(b AS STRING))), 4, 1)) - 1)""".stripMargin))
+        """(instr('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096
+          | + (instr('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256
+          | + (instr('0123456789abcdef', substr(h4, 3, 1)) - 1) * 16
+          | + (instr('0123456789abcdef', substr(h4, 4, 1)) - 1)""".stripMargin))
       .withColumn("w", expr(
         """CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1
           |     WHEN u16 < 60273 THEN 2 WHEN u16 < 64291 THEN 3
