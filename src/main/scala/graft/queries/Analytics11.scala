@@ -287,16 +287,22 @@ object Analytics11 {
     * interpolation in the graded path). */
   def aggPoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
     val B = 32
+    // One md5 feeds EIGHT draws (its 32 hex digits = 8 u16 lattice
+    // points), so the hash count is B/8 per row, not B — md5 is the
+    // whole cost of this query at bench scale (12.8 s → ~2 s at
+    // sf0.1 for B=32).
     val rep = t(s, dir, "orders")
       .select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .select(col("o_orderkey"), col("price"),
-        explode(sequence(lit(0), lit(B - 1))).as("b"))
-      // one md5 per (row, replicate) — the hash lands in its own
-      // column so the four nibble extracts cannot re-evaluate it
-      .withColumn("h4", substring(
+        explode(sequence(lit(0), lit(B / 8 - 1))).as("g"))
+      .withColumn("h32",
         md5(concat(col("o_orderkey").cast("string"), lit(":"),
-          col("b").cast("string"))), 1, 4))
+          col("g").cast("string"))))
+      .select(col("price"), col("g"), col("h32"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("b", col("g") * 8 + col("j"))
+      .withColumn("h4", expr("substr(h32, j * 4 + 1, 4)"))
       .withColumn("u16", expr(
         """(instr('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096
           | + (instr('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256
@@ -418,14 +424,19 @@ object Analytics11 {
     "agg_poisson_bootstrap" ->
       """WITH rep AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        |    unnest(range(0, 32)) AS b
+        |    unnest(range(0, 4)) AS g
         |  FROM orders),
-        |h AS (SELECT price, b,
-        |    (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 4096
-        |  + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 256
-        |  + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 16
-        |  + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 4, 1)) - 1) AS u16
+        |hx AS (SELECT price, g,
+        |    md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(g AS VARCHAR))
+        |      AS h32,
+        |    unnest(range(0, 8)) AS j
         |  FROM rep),
+        |h AS (SELECT price, g * 8 + j AS b,
+        |    (instr('0123456789abcdef', substr(h32, j*4 + 1, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(h32, j*4 + 2, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(h32, j*4 + 3, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(h32, j*4 + 4, 1)) - 1) AS u16
+        |  FROM hx),
         |wts AS (SELECT price, b,
         |    CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1
         |         WHEN u16 < 60273 THEN 2 WHEN u16 < 64291 THEN 3
