@@ -390,7 +390,86 @@ object Analytics11 {
           .as("harmonic"))
   }
 
+  // ---------------------------------------------------------------------
+  // win_garch
+  // ---------------------------------------------------------------------
+
+  /** GARCH(1,1) conditional-variance fold per user over the event-value
+    * series (ω=2, α=0.1, β=0.85 — long-run variance ω/(1−α−β)=40;
+    * seeded at σ²=25 on the first observation): σ²ₜ = ω + α·rₜ₋₁² +
+    * β·σ²ₜ₋₁ with rₜ the series first difference. Same shape as the
+    * [[Analytics6.winKalman]] fold: one sequential IEEE pass inside
+    * the row via the aggregate HOF, replayed by the oracle as a
+    * recursive CTE — each user's state is two doubles, the
+    * one-pass streaming-volatility shape. */
+  def winGarch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("xs"))
+      .select(col("user_id"), expr("transform(xs, x -> x.value)").as("vs"))
+      .select(col("user_id"), size(col("vs")).cast("long").as("n_events"),
+        expr("""aggregate(slice(vs, 2, size(vs) - 1),
+                 named_struct('prev', vs[0], 's2', 25.0D),
+                 (acc, z) -> named_struct(
+                   'prev', z,
+                   's2', 2.0D + 0.1D * (z - acc.prev) * (z - acc.prev)
+                         + 0.85D * acc.s2))""").as("f"))
+      .select(col("user_id"), col("n_events"),
+        col("f.s2").as("garch_var"), sqrt(col("f.s2")).as("garch_vol"))
+
+  // ---------------------------------------------------------------------
+  // agg_hurst
+  // ---------------------------------------------------------------------
+
+  /** Rescaled-range (R/S) Hurst exponent of the daily-revenue series:
+    * consecutive blocks of n ∈ {8, 16, 32} days, per block
+    * R = max−min of the cumulative mean-deviation walk and
+    * S = population σ, then H = the log-log slope of the mean R/S
+    * against n (H≈0.5 ⇒ no long memory; the long-memory diagnostic
+    * finance and traffic analysis run at scale). Shared census text:
+    * daily sums ride DECIMAL(18,2) before one double cast; the
+    * deviation walk is an ORDERED window cumsum (sequential, so both
+    * engines replay one IEEE order); zero-variance blocks are CASEd
+    * out rather than divided by. The day index is a row_number over
+    * the tiny daily relation — everything after the first aggregation
+    * is O(days), not O(rows). */
+  def aggHurst(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_hu_orders")
+    s.sql("WITH " + hurstCensus("graft_hu_orders", "DIV"))
+  }
+
+  private def hurstCensus(orders: String, intdiv: String): String =
+    s"""drev AS (SELECT o_orderdate AS d,
+       |           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       |                AS DOUBLE) AS rev
+       |         FROM $orders GROUP BY 1),
+       |idx AS (SELECT rev, row_number() OVER (ORDER BY d) AS i FROM drev),
+       |sizes AS (SELECT 8 AS n UNION ALL SELECT 16 UNION ALL SELECT 32),
+       |blk AS (SELECT sizes.n, (i - 1) $intdiv sizes.n AS b, i, rev
+       |        FROM idx CROSS JOIN sizes),
+       |fb AS (SELECT n, b, SUM(rev) AS sr FROM blk GROUP BY 1, 2
+       |       HAVING COUNT(*) = n),
+       |dv AS (SELECT blk.n, blk.b, blk.i, blk.rev - fb.sr / blk.n AS dev
+       |       FROM blk JOIN fb ON blk.n = fb.n AND blk.b = fb.b),
+       |z AS (SELECT n, b, dev,
+       |        SUM(dev) OVER (PARTITION BY n, b ORDER BY i) AS cz
+       |      FROM dv),
+       |rs AS (SELECT n, b,
+       |         CASE WHEN SUM(dev * dev) > 0
+       |              THEN (MAX(cz) - MIN(cz)) / SQRT(SUM(dev * dev) / n)
+       |         END AS rs
+       |       FROM z GROUP BY n, b),
+       |pts AS (SELECT n, AVG(rs) AS mrs FROM rs GROUP BY n)
+       |SELECT regr_slope(LN(mrs), LN(CAST(n AS DOUBLE))) AS h,
+       |  MAX(CASE WHEN n = 8 THEN mrs END) AS rs_8,
+       |  MAX(CASE WHEN n = 16 THEN mrs END) AS rs_16,
+       |  MAX(CASE WHEN n = 32 THEN mrs END) AS rs_32
+       |FROM pts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_garch" -> (winGarch _),
+    "agg_hurst" -> (aggHurst _),
     "agg_poisson_bootstrap" -> (aggPoissonBootstrap _),
     "graph_closeness" -> (graphCloseness _),
     "agg_kaplan_meier" -> (aggKaplanMeier _),
@@ -421,6 +500,23 @@ object Analytics11 {
       |        UNION ALL SELECT b, a FROM edges)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "win_garch" ->
+      """WITH RECURSIVE
+        |v AS (SELECT user_id,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS i,
+        |        CAST(value AS DOUBLE) AS x FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM v GROUP BY user_id),
+        |f(user_id, i, prev, s2) AS (
+        |  SELECT user_id, 1, x, CAST(25.0 AS DOUBLE) FROM v WHERE i = 1
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1, v.x,
+        |    2.0 + 0.1 * (v.x - f.prev) * (v.x - f.prev) + 0.85 * f.s2
+        |  FROM f JOIN v ON v.user_id = f.user_id AND v.i = f.i + 1)
+        |SELECT f.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |       f.s2 AS garch_var, SQRT(f.s2) AS garch_vol
+        |FROM f JOIN n ON n.user_id = f.user_id WHERE f.i = n.n""".stripMargin,
+    "agg_hurst" -> ("WITH " + hurstCensus("orders", "//")),
     "agg_poisson_bootstrap" ->
       """WITH rep AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,

@@ -195,6 +195,48 @@ class Analytics11Spec extends SparkTestBase {
     }
   }
 
+  test("win_garch matches a per-user driver fold replica") {
+    val out = q("win_garch").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("garch_var"),
+          r.getAs[Double]("garch_vol"))).toMap
+    assert(out.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val rows = graft.core.Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime,
+        r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      var prev = vs.head
+      var s2 = 25.0
+      vs.tail.foreach { z =>
+        s2 = 2.0 + 0.1 * (z - prev) * (z - prev) + 0.85 * s2
+        prev = z
+      }
+      val (n, gv, gvol) = out(u)
+      assert(n == vs.length.toLong)
+      assert(gv == s2, s"user $u: $gv vs replica $s2")
+      assert(gvol == math.sqrt(s2))
+    }
+    assert(ev.select("user_id").distinct().count() == out.size)
+  }
+
+  test("agg_hurst: exponent in range, R/S grows with window size") {
+    val r = q("agg_hurst").collect().head
+    val h = r.getAs[Double]("h")
+    val rs = Seq(r.getAs[Double]("rs_8"), r.getAs[Double]("rs_16"),
+      r.getAs[Double]("rs_32"))
+    assert(h > 0.0 && h < 1.0, s"h=$h")
+    assert(rs.forall(_ > 0.0))
+    // E[R/S] ~ c·n^h is increasing in n for any positive exponent.
+    assert(rs == rs.sorted, s"R/S not monotone: $rs")
+    // The fitted slope reproduces the endpoints' two-point slope
+    // within the 3-point OLS tolerance.
+    val twoPoint = math.log(rs(2) / rs(0)) / math.log(32.0 / 8.0)
+    assert(math.abs(h - twoPoint) < 0.15, s"h=$h vs 2-pt $twoPoint")
+  }
+
   test("graph_kcore: survivors satisfy k, removed nodes were peelable") {
     val out = q("graph_kcore").collect()
       .map(r => r.getAs[Long]("nk") -> r.getAs[Long]("deg")).toMap
