@@ -56,7 +56,7 @@ class EmptyInputSpec extends SparkTestBase {
     // joins collapse its one-row estimate to zero rows on empty)
     "graph_kcore", "graph_hits", "graph_closeness", "text_ttr",
     "llm_lang_temperature", "agg_kaplan_meier", "agg_poisson_bootstrap",
-    "mm_vad_segments")
+    "mm_vad_segments", "win_garch")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -66,7 +66,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // are excluded per the var_samp precedent: their final reduction
     // sums doubles across partitions, ulp-variant below canon.
     "graph_kcore", "graph_hits", "graph_closeness", "text_ttr",
-    "agg_kaplan_meier", "agg_poisson_bootstrap", "mm_vad_segments")
+    "agg_kaplan_meier", "agg_poisson_bootstrap", "mm_vad_segments",
+    // array_sort-pinned sequential fold (agg_hurst excluded: its
+    // block sums merge doubles across partitions, ulp-variant)
+    "win_garch")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
