@@ -506,7 +506,37 @@ object Multimodal {
         col("n_frames"), col("energy").cast("long").as("energy"))
   }
 
+  /** Shazam-style constellation fingerprints over the audio-shaped
+    * frames: a frame is a PEAK when its energy strictly exceeds its
+    * predecessor's and is ≥ its successor's (the asymmetric tie-break
+    * keeps plateau runs single-peaked); each peak pairs with the NEXT
+    * peak and hashes (energy mod 251, next energy mod 251, capped
+    * frame gap) into one integer — the anchor-pair scheme real audio
+    * matchers index on. All integer arithmetic; the frame pass is the
+    * same never-shuffle-blobs [[vadFrames]] boundary, and the peak
+    * windows are keyed per media — embarrassingly parallel. */
+  def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    val peaks = vadFrames(mediaFromDocuments(s, dir)).toDF()
+      .withColumn("ep", lag("energy", 1).over(w))
+      .withColumn("en", lead("energy", 1).over(w))
+      .filter(col("ep").isNotNull && col("en").isNotNull &&
+        col("energy") > col("ep") && col("energy") >= col("en"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    peaks
+      .withColumn("f2", lead("frame_no", 1).over(wp))
+      .withColumn("e2", lead("energy", 1).over(wp))
+      .filter(col("f2").isNotNull)
+      .select(col("media_id"), col("frame_no").as("f1"),
+        (col("f2") - col("frame_no")).as("dt"),
+        (((col("energy") % 251) * 251 + col("e2") % 251) * 64 +
+          least(col("f2") - col("frame_no"), lit(63))).as("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_vad_segments" -> (mmVadSegments _),
     "mm_binary_ingest" -> (mmBinaryIngest _),
     "mm_decode_png" -> (mmDecodePng _),
@@ -519,6 +549,34 @@ object Multimodal {
     "mm_phash_neardup" -> (mmPhashNeardup _))
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_fingerprint" ->
+      """WITH b AS (SELECT doc_id,
+        |             list_transform(range(1, length(text) + 1),
+        |               i -> ord(text[i])) AS bs
+        |           FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, len(bs) // 32)) AS frame_no,
+        |         bs
+        |       FROM b),
+        |en AS (SELECT doc_id, frame_no,
+        |         list_sum(bs[frame_no*32 + 1 : frame_no*32 + 32]) AS energy
+        |       FROM fr),
+        |pk AS (SELECT doc_id, frame_no, energy,
+        |         lag(energy) OVER w AS ep, lead(energy) OVER w AS en
+        |       FROM en WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+        |peaks AS (SELECT doc_id, frame_no, energy FROM pk
+        |          WHERE ep IS NOT NULL AND en IS NOT NULL
+        |            AND energy > ep AND energy >= en),
+        |pairs AS (SELECT doc_id, frame_no, energy,
+        |            lead(frame_no) OVER w2 AS f2,
+        |            lead(energy) OVER w2 AS e2
+        |          FROM peaks
+        |          WINDOW w2 AS (PARTITION BY doc_id ORDER BY frame_no))
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(frame_no AS BIGINT) AS f1,
+        |  CAST(f2 - frame_no AS BIGINT) AS dt,
+        |  CAST(((energy % 251) * 251 + e2 % 251) * 64
+        |       + least(f2 - frame_no, 63) AS BIGINT) AS fp
+        |FROM pairs WHERE f2 IS NOT NULL""".stripMargin,
     // ASCII ⇒ ord(char) == byte value, so the oracle rebuilds each
     // frame's energy from the document text itself.
     "mm_vad_segments" ->

@@ -467,7 +467,49 @@ object Analytics11 {
        |  MAX(CASE WHEN n = 32 THEN mrs END) AS rs_32
        |FROM pts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // win_seasonal_decompose
+  // ---------------------------------------------------------------------
+
+  /** Classical additive seasonal decomposition of daily revenue:
+    * trend = centered 7-day moving average (null until the window is
+    * full — partial-edge trends are the textbook artifact), seasonal =
+    * per-day-of-week mean of the detrended series, residual = the
+    * rest. The corpus-sized pass is the one daily aggregation
+    * (DECIMAL sums, checkpointed); everything after is O(days).
+    * Spark's 1-based dayofweek is aligned to DuckDB's 0-based as in
+    * [[Analytics8.aggSeasonality]]; the census text is shared, with
+    * only the date-format spelling parameterized. */
+  def winSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_sd_orders")
+    s.sql(
+      """SELECT CAST(o_orderdate AS DATE) AS d,
+        |       dayofweek(CAST(o_orderdate AS DATE)) - 1 AS dow,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+        |         AS rev
+        |FROM graft_sd_orders GROUP BY 1, 2""".stripMargin)
+      .localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_sd_daily")
+    s.sql("WITH " + decomposeCensus("graft_sd_daily",
+      "date_format(d, 'yyyy-MM-dd')"))
+  }
+
+  private def decomposeCensus(daily: String, dateStr: String): String =
+    s"""tr AS (SELECT d, dow, rev,
+       |         CASE WHEN COUNT(*) OVER w7 = 7
+       |              THEN SUM(rev) OVER w7 / 7 END AS trend
+       |       FROM $daily
+       |       WINDOW w7 AS (ORDER BY d
+       |                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |se AS (SELECT dow, AVG(rev - trend) AS seasonal
+       |       FROM tr WHERE trend IS NOT NULL GROUP BY dow)
+       |SELECT $dateStr AS day, rev, trend, se.seasonal,
+       |  CASE WHEN trend IS NOT NULL
+       |       THEN rev - trend - se.seasonal END AS resid
+       |FROM tr JOIN se ON tr.dow = se.dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_seasonal_decompose" -> (winSeasonalDecompose _),
     "win_garch" -> (winGarch _),
     "agg_hurst" -> (aggHurst _),
     "agg_poisson_bootstrap" -> (aggPoissonBootstrap _),
@@ -500,6 +542,14 @@ object Analytics11 {
       |        UNION ALL SELECT b, a FROM edges)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "win_seasonal_decompose" ->
+      ("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |                 dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+         |                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+         |                      AS DOUBLE) AS rev
+         |               FROM orders GROUP BY 1, 2),
+         |""".stripMargin +
+        decomposeCensus("daily", "strftime(d, '%Y-%m-%d')")),
     "win_garch" ->
       """WITH RECURSIVE
         |v AS (SELECT user_id,

@@ -237,6 +237,59 @@ class Analytics11Spec extends SparkTestBase {
     assert(math.abs(h - twoPoint) < 0.15, s"h=$h vs 2-pt $twoPoint")
   }
 
+  test("win_seasonal_decompose: components re-add and edges stay null") {
+    val out = q("win_seasonal_decompose").collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Double]("rev"),
+        Option(r.getAs[java.lang.Double]("trend")).map(_.doubleValue),
+        r.getAs[Double]("seasonal"),
+        Option(r.getAs[java.lang.Double]("resid")).map(_.doubleValue)))
+      .sortBy(_._1)
+    assert(out.length > 100)
+    // Exactly the first and last 3 days lack a full centered window.
+    val nullTrend = out.filter(_._3.isEmpty).map(_._1)
+    assert(nullTrend.toSet ==
+      (out.take(3) ++ out.takeRight(3)).map(_._1).toSet)
+    // Additivity: rev = trend + seasonal + resid wherever defined.
+    out.foreach {
+      case (_, rev, Some(tr), se, Some(res)) =>
+        assert(math.abs(rev - (tr + se + res)) < 1e-6)
+      case (d, _, tr, _, res) =>
+        assert(tr.isEmpty && res.isEmpty, s"$d: trend/resid nullity split")
+    }
+    // Seasonal effects are centered-ish: they sum to ~0 across the
+    // seven day-of-week groups (each weighted mean of detrended rev).
+    val seasonals = out.map(r => (r._1.takeRight(10), r._4))
+    assert(seasonals.map(_._2).distinct.size == 7)
+  }
+
+  test("mm_audio_fingerprint: peaks are local maxima with integer hashes") {
+    val out = q("mm_audio_fingerprint").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("f1"),
+        r.getAs[Long]("dt"), r.getAs[Long]("fp")))
+    assert(out.nonEmpty)
+    out.foreach { case (_, f1, dt, fp) =>
+      assert(f1 >= 1); assert(dt >= 1)
+      assert(fp >= 0 && fp < 251L * 251 * 64 + 64)
+      assert(fp % 64 == math.min(dt, 63),
+        "gap bits must encode the capped frame gap")
+    }
+    // Replica on one media: recompute peaks from the frame energies.
+    val frames = graft.multimodal.Multimodal.vadFrames(
+      graft.multimodal.Multimodal.mediaFromDocuments(spark, sf))
+      .collect().groupBy(_.media_id)
+    val byMedia = out.groupBy(_._1)
+    byMedia.keys.take(5).foreach { m =>
+      val es = frames(m).sortBy(_.frame_no).map(_.energy)
+      val peaks = (1 until es.length - 1)
+        .filter(i => es(i) > es(i - 1) && es(i) >= es(i + 1))
+      val want = peaks.zip(peaks.tail).map { case (a, b) =>
+        (m, a.toLong, (b - a).toLong,
+          ((es(a) % 251) * 251 + es(b) % 251) * 64 + math.min(b - a, 63))
+      }
+      assert(byMedia(m).sortBy(_._2).toSeq == want, s"media $m")
+    }
+  }
+
   test("graph_kcore: survivors satisfy k, removed nodes were peelable") {
     val out = q("graph_kcore").collect()
       .map(r => r.getAs[Long]("nk") -> r.getAs[Long]("deg")).toMap
