@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Analytics9.queries ++
       graft.queries.Analytics10.queries ++
       graft.queries.Analytics11.queries ++
+      graft.queries.Analytics12.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.queries.Analytics9.oracle ++
       graft.queries.Analytics10.oracle ++
       graft.queries.Analytics11.oracle ++
+      graft.queries.Analytics12.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

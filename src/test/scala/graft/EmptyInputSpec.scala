@@ -56,7 +56,14 @@ class EmptyInputSpec extends SparkTestBase {
     // joins collapse its one-row estimate to zero rows on empty)
     "graph_kcore", "graph_hits", "graph_closeness", "text_ttr",
     "llm_lang_temperature", "agg_kaplan_meier", "agg_poisson_bootstrap",
-    "mm_vad_segments", "win_garch")
+    "mm_vad_segments", "win_garch",
+    // round-10 session 4 (agg_cointegration and agg_pacf excluded per
+    // the global-aggregate one-null-row rule; scan_metadata_cols
+    // exercises the zero-data-file partitioned read-back via its
+    // explicit schema)
+    "win_rolling_beta", "agg_vol_estimators", "agg_ljung_box",
+    "llm_bpe_train", "llm_dp_histogram", "graph_adamic_adar",
+    "sql_pipe_syntax", "scan_metadata_cols")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

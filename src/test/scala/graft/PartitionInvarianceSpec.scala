@@ -69,7 +69,17 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "agg_kaplan_meier", "agg_poisson_bootstrap", "mm_vad_segments",
     // array_sort-pinned sequential fold (agg_hurst excluded: its
     // block sums merge doubles across partitions, ulp-variant)
-    "win_garch")
+    "win_garch",
+    // round-10 session 4: decimal-exact rolling window sums, the
+    // cent-quantized ADF walk, total-order BPE merge loop, md5-keyed
+    // DP noise, quantized-integer AA census, the pipe-syntax
+    // aggregation, and the value-partitioned metadata census — all
+    // exact-arithmetic shapes. agg_vol_estimators / agg_pacf /
+    // agg_ljung_box are excluded per the var_samp precedent (double
+    // sums / corr merge across partitions, ulp-variant below canon).
+    "win_rolling_beta", "agg_cointegration", "llm_bpe_train",
+    "llm_dp_histogram", "graph_adamic_adar", "sql_pipe_syntax",
+    "scan_metadata_cols")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
