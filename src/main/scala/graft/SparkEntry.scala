@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Analytics10.queries ++
       graft.queries.Analytics11.queries ++
       graft.queries.Analytics12.queries ++
+      graft.queries.Analytics13.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       graft.queries.Analytics10.oracle ++
       graft.queries.Analytics11.oracle ++
       graft.queries.Analytics12.oracle ++
+      graft.queries.Analytics13.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -325,48 +325,82 @@ object Analytics12 {
     s.sql(bpeRounds(words, pairs))
   }
 
-  /** Round chain shared by both dialects: `words` ends with a CTE
-    * `st0(w, c, s)`; `pairs(st)` is a dialect-specific derived table
-    * producing (pr, cnt) adjacent-pair counts for a state CTE. */
-  private def bpeRounds(words: String, pairs: String => String): String = {
-    def merge(st: String, m: String): String =
-      s"""SELECT w, c, replace(replace(s,
-         |    ' ' || $m.pr || ' ', ' ' || replace($m.pr, ' ', '') || ' '),
-         |    ' ' || $m.pr || ' ', ' ' || replace($m.pr, ' ', '') || ' ') AS s
-         |FROM $st CROSS JOIN $m""".stripMargin
+  private def bpeMerge(st: String, m: String): String =
+    s"""SELECT w, c, replace(replace(s,
+       |    ' ' || $m.pr || ' ', ' ' || replace($m.pr, ' ', '') || ' '),
+       |    ' ' || $m.pr || ' ', ' ' || replace($m.pr, ' ', '') || ' ') AS s
+       |FROM $st CROSS JOIN $m""".stripMargin
+
+  /** CTE chain shared by both dialects and by train/apply: `words`
+    * ends with a CTE `st0(w, c, s)`; `pairs(st)` is a
+    * dialect-specific derived table producing (pr, cnt) adjacent-pair
+    * counts for a state CTE. Ends at `m3` (train reads m1-m3, apply
+    * additionally builds st3). */
+  private def bpeChain(words: String, pairs: String => String): String =
     s"""WITH $words,
        |p1 AS ${pairs("st0")},
        |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr LIMIT 1),
-       |st1 AS (${merge("st0", "m1")}),
+       |st1 AS (${bpeMerge("st0", "m1")}),
        |p2 AS ${pairs("st1")},
        |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr LIMIT 1),
-       |st2 AS (${merge("st1", "m2")}),
+       |st2 AS (${bpeMerge("st1", "m2")}),
        |p3 AS ${pairs("st2")},
-       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1)
+       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1)""".stripMargin
+
+  private def bpeRounds(words: String, pairs: String => String): String =
+    s"""${bpeChain(words, pairs)}
        |SELECT 1 AS round, pr AS pair, replace(pr, ' ', '') AS merged,
        |       CAST(cnt AS BIGINT) AS cnt FROM m1
        |UNION ALL SELECT 2, pr, replace(pr, ' ', ''), CAST(cnt AS BIGINT) FROM m2
        |UNION ALL SELECT 3, pr, replace(pr, ' ', ''), CAST(cnt AS BIGINT) FROM m3""".stripMargin
+
+  /** Apply half ([[Analytics13.llmBpeApply]]): rebuild st3 from the
+    * chain, derive each word's post-merge token count, and score the
+    * exploded corpus against that vocab relation. `docToks` yields
+    * (doc_id, w); `vocabSize` is the dialect spelling of the
+    * symbol-count of state string `s`. */
+  private[queries] def bpeApplyChain(words: String, pairs: String => String,
+      docToks: String, vocabSize: String): String =
+    s"""${bpeChain(words, pairs)},
+       |st3 AS (${bpeMerge("st2", "m3")}),
+       |vocab AS (SELECT w, CAST($vocabSize AS BIGINT) AS n_syms FROM st3),
+       |dt AS ($docToks)
+       |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(v.n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(v.n_syms) AS DOUBLE) / sum(length(dt.w)) AS compression
+       |FROM dt JOIN vocab v ON v.w = dt.w
+       |GROUP BY dt.doc_id""".stripMargin
+
+  private[queries] def bpeApplyOracleSql: String = {
+    val docToks =
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents) t WHERE regexp_matches(w, '^[a-z]+$')""".stripMargin
+    bpeApplyChain(bpeOracleWords, bpeOraclePairs, docToks,
+      "len(string_split(trim(s), ' '))")
   }
 
-  /** DuckDB spelling of the BPE round chain (list primitives differ:
-    * string_split / lateral generate_series / 1-based slices). */
-  private[queries] def bpeOracleSql: String = {
-    val words =
-      """words AS (SELECT w, count(*) AS c FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
-        |st0 AS (SELECT w, c,
-        |  ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
-        |  FROM words)""".stripMargin
-    val pairs = (st: String) =>
-      s"""(SELECT pr, sum(c) AS cnt FROM (
-         |  SELECT b.c, b.syms[g] || ' ' || b.syms[g + 1] AS pr
-         |  FROM (SELECT c, string_split(trim(s), ' ') AS syms FROM $st) b,
-         |    UNNEST(generate_series(1, len(b.syms) - 1)) AS u(g))
-         |GROUP BY pr)""".stripMargin
-    bpeRounds(words, pairs)
-  }
+  /** DuckDB spellings of the BPE chain pieces (list primitives
+    * differ: string_split / lateral generate_series / 1-based
+    * slices). */
+  private val bpeOracleWords: String =
+    """words AS (SELECT w, count(*) AS c FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+      |st0 AS (SELECT w, c,
+      |  ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+      |  FROM words)""".stripMargin
+
+  private val bpeOraclePairs: String => String = (st: String) =>
+    s"""(SELECT pr, sum(c) AS cnt FROM (
+       |  SELECT b.c, b.syms[g] || ' ' || b.syms[g + 1] AS pr
+       |  FROM (SELECT c, string_split(trim(s), ' ') AS syms FROM $st) b,
+       |    UNNEST(generate_series(1, len(b.syms) - 1)) AS u(g))
+       |GROUP BY pr)""".stripMargin
+
+  private[queries] def bpeOracleSql: String =
+    bpeRounds(bpeOracleWords, bpeOraclePairs)
 
   // ---------------------------------------------------------------------
   // llm_dp_histogram

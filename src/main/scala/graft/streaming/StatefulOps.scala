@@ -176,6 +176,52 @@ object StatefulOps {
     }
   }
 
+  case class TopK(user_id: Long, n_events: Long, top1_cents: Option[Long],
+      top2_cents: Option[Long], top3_cents: Option[Long])
+
+  /** Per-user running top-3 via a `ListState` handle — the BOUNDED
+    * buffer state shape (leaderboards, best-N offers) that
+    * `ValueState` can't hold and an unbounded window buffer would
+    * bloat: state is ≤3 (cents, event_id) pairs per key forever,
+    * maintained by merge-truncate on each batch. The total order is
+    * (cents DESC, event_id ASC) — arrival order breaks value ties, so
+    * batch and any micro-batch slicing agree. A count rides in a
+    * second `ValueState`, exercising two typed handles in one
+    * processor. Integer cents keep oracle parity exact; missing ranks
+    * are NULL, matching the oracle's pivot. */
+  class TopKProcessor extends StatefulProcessor[Long, Ev, TopK] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[(Long, Long)]("top3",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TopK] = {
+      val rs = rows.toSeq
+      val prev = if (top.exists()) top.get().toSeq else Seq.empty
+      val merged = (prev ++ rs.map(e => (toCents(e.value), e.event_id)))
+        .sortBy { case (c, id) => (-c, id) }.take(3)
+      top.put(merged.toArray)
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rs.length
+      cnt.update(n)
+      Iterator.single(TopK(key, n,
+        merged.lift(0).map(_._1), merged.lift(1).map(_._1),
+        merged.lift(2).map(_._1)))
+    }
+  }
+
+  /** Batch + streaming unified, like `newHighs`. */
+  def topK(events: Dataset[Ev]): Dataset[TopK] = {
+    events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
+    implicit val outEnc: Encoder[TopK] = Encoders.product[TopK]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TopKProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch + streaming unified, like `newHighs`. */
   def cusum(events: Dataset[Ev]): Dataset[CusumRow] = {
     events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
@@ -216,6 +262,7 @@ object StatefulOps {
     "stream_tws_capped_sum" -> ((s, d) =>
       cappedBalance(eventsTyped(s, d)).toDF()),
     "stream_tws_cusum" -> ((s, d) => cusum(eventsTyped(s, d)).toDF()),
+    "stream_tws_topk" -> ((s, d) => topK(eventsTyped(s, d)).toDF()),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
       // doubles (integer-cent sum, one division), and an engine-side
@@ -273,6 +320,19 @@ object StatefulOps {
         |FROM (SELECT user_id, rn, s, m, a,
         |        MAX(rn) OVER (PARTITION BY user_id) AS mx FROM r)
         |WHERE rn = mx""".stripMargin,
+    "stream_tws_topk" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |      FROM events),
+        |r AS (SELECT user_id, cents,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY cents DESC, event_id) AS rn
+        |      FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MAX(CASE WHEN rn = 1 THEN cents END) AS top1_cents,
+        |  MAX(CASE WHEN rn = 2 THEN cents END) AS top2_cents,
+        |  MAX(CASE WHEN rn = 3 THEN cents END) AS top3_cents
+        |FROM r GROUP BY user_id""".stripMargin,
     "stream_tws_new_highs" ->
       """WITH w AS (SELECT user_id, event_id, value,
         |  MAX(value) OVER (PARTITION BY user_id ORDER BY event_id

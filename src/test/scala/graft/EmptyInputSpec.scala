@@ -63,7 +63,11 @@ class EmptyInputSpec extends SparkTestBase {
     // explicit schema)
     "win_rolling_beta", "agg_vol_estimators", "agg_ljung_box",
     "llm_bpe_train", "llm_dp_histogram", "graph_adamic_adar",
-    "sql_pipe_syntax", "scan_metadata_cols")
+    "sql_pipe_syntax", "scan_metadata_cols",
+    // batch B: the two global-aggregate censuses (hill, tau) carry
+    // HAVING count(*) > 0 guards precisely so this path is 0-row
+    "win_frac_diff", "agg_hill_tail", "agg_kendall_tau",
+    "llm_bpe_apply", "agg_mutual_info", "stream_tws_topk")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

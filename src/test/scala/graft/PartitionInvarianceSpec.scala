@@ -79,7 +79,13 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // sums / corr merge across partitions, ulp-variant below canon).
     "win_rolling_beta", "agg_cointegration", "llm_bpe_train",
     "llm_dp_histogram", "graph_adamic_adar", "sql_pipe_syntax",
-    "scan_metadata_cols")
+    "scan_metadata_cols",
+    // batch B: fixed-order dot product on checkpointed integer
+    // dollars, exact integer concordance census, integer BPE apply,
+    // per-row closed-form PMI, integer ListState top-k
+    // (agg_hill_tail excluded: 100-term ln sum merges doubles)
+    "win_frac_diff", "agg_kendall_tau", "llm_bpe_apply",
+    "agg_mutual_info", "stream_tws_topk")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
