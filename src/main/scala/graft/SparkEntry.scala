@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Analytics11.queries ++
       graft.queries.Analytics12.queries ++
       graft.queries.Analytics13.queries ++
+      graft.queries.Analytics14.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.queries.Analytics11.oracle ++
       graft.queries.Analytics12.oracle ++
       graft.queries.Analytics13.oracle ++
+      graft.queries.Analytics14.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

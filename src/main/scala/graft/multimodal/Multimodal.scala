@@ -535,7 +535,46 @@ object Multimodal {
           least(col("f2") - col("frame_no"), lit(63))).as("fp"))
   }
 
+  case class SceneCuts(media_id: Long, n_frames: Long, n_cuts: Long,
+      max_diff: Long)
+
+  /** Scene-change detection by frame differencing: consecutive
+    * 32-byte frames' sum-of-absolute-byte-differences, a cut when the
+    * difference exceeds 1000 (the fixture's diff distribution spans
+    * 189–1256 with median ≈ 916, so the threshold flags the genuinely
+    * discontinuous transitions). The whole computation happens INSIDE
+    * the mapPartitions codec boundary — the blob never shuffles, one
+    * summary row leaves per media — and everything is integer, so
+    * oracle parity is exact (ASCII blob ⇒ DuckDB recomputes byte
+    * diffs from chars). */
+  def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[SceneCuts]
+    mediaFromDocuments(s, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nf = r.content.length / 32
+        if (nf < 2) None
+        else {
+          var cuts = 0L; var maxDiff = 0L
+          var f = 1
+          while (f < nf) {
+            var diff = 0L; var i = 0
+            while (i < 32) {
+              diff += math.abs((r.content(f * 32 + i) & 0xff) -
+                (r.content((f - 1) * 32 + i) & 0xff))
+              i += 1
+            }
+            if (diff > 1000L) cuts += 1
+            if (diff > maxDiff) maxDiff = diff
+            f += 1
+          }
+          Some(SceneCuts(r.media_id, nf.toLong, cuts, maxDiff))
+        }
+      }
+    }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_vad_segments" -> (mmVadSegments _),
     "mm_binary_ingest" -> (mmBinaryIngest _),
@@ -549,6 +588,21 @@ object Multimodal {
     "mm_phash_neardup" -> (mmPhashNeardup _))
 
   val oracle: Map[String, String] = Map(
+    "mm_scene_cuts" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, len(text) // 32 AS nf
+        |           FROM documents WHERE len(text) >= 64),
+        |d AS (SELECT m.media_id, g,
+        |        sum(abs(ascii(substr(m.text, (g - 1) * 32 + i, 1))
+        |              - ascii(substr(m.text, (g - 2) * 32 + i, 1)))) AS diff
+        |      FROM m, UNNEST(generate_series(2, m.nf)) AS t(g),
+        |           UNNEST(generate_series(1, 32)) AS t2(i)
+        |      GROUP BY 1, 2)
+        |SELECT d.media_id, CAST(m.nf AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN diff > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(max(diff) AS BIGINT) AS max_diff
+        |FROM d JOIN m ON m.media_id = d.media_id
+        |GROUP BY 1, 2""".stripMargin,
     "mm_audio_fingerprint" ->
       """WITH b AS (SELECT doc_id,
         |             list_transform(range(1, length(text) + 1),

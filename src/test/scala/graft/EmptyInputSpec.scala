@@ -67,7 +67,10 @@ class EmptyInputSpec extends SparkTestBase {
     // batch B: the two global-aggregate censuses (hill, tau) carry
     // HAVING count(*) > 0 guards precisely so this path is 0-row
     "win_frac_diff", "agg_hill_tail", "agg_kendall_tau",
-    "llm_bpe_apply", "agg_mutual_info", "stream_tws_topk")
+    "llm_bpe_apply", "agg_mutual_info", "stream_tws_topk",
+    // batch C
+    "agg_nelson_aalen", "win_ulcer_index", "text_burrows_delta",
+    "llm_rouge_decontam", "sql_named_params", "mm_scene_cuts")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

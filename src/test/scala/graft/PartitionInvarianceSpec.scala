@@ -85,7 +85,13 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // per-row closed-form PMI, integer ListState top-k
     // (agg_hill_tail excluded: 100-term ln sum merges doubles)
     "win_frac_diff", "agg_kendall_tau", "llm_bpe_apply",
-    "agg_mutual_info", "stream_tws_topk")
+    "agg_mutual_info", "stream_tws_topk",
+    // batch C: one-ordered-window hazard walk, integer n-gram
+    // censuses with exact max, parameter binding over decimal sums,
+    // all-integer frame differencing (ulcer/burrows excluded:
+    // grouped double sums / moments merge across partitions)
+    "agg_nelson_aalen", "llm_rouge_decontam", "sql_named_params",
+    "mm_scene_cuts")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
