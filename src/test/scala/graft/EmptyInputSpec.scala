@@ -70,7 +70,10 @@ class EmptyInputSpec extends SparkTestBase {
     "llm_bpe_apply", "agg_mutual_info", "stream_tws_topk",
     // batch C
     "agg_nelson_aalen", "win_ulcer_index", "text_burrows_delta",
-    "llm_rouge_decontam", "sql_named_params", "mm_scene_cuts")
+    "llm_rouge_decontam", "sql_named_params", "mm_scene_cuts",
+    // batch D
+    "agg_pca_power", "graph_random_walk", "win_donchian", "text_rake",
+    "etl_cdc_apply")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

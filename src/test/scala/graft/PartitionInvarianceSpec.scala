@@ -91,7 +91,11 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // all-integer frame differencing (ulcer/burrows excluded:
     // grouped double sums / moments merge across partitions)
     "agg_nelson_aalen", "llm_rouge_decontam", "sql_named_params",
-    "mm_scene_cuts")
+    "mm_scene_cuts",
+    // batch D: hash-deterministic walks, comparison-only channels,
+    // quantized-integer RAKE ranking, decimal CDC census
+    // (agg_pca_power excluded: the Gram sums merge doubles)
+    "graph_random_walk", "win_donchian", "text_rake", "etl_cdc_apply")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
