@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Analytics13.queries ++
       graft.queries.Analytics14.queries ++
       graft.queries.Analytics15.queries ++
+      graft.queries.Analytics16.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       graft.queries.Analytics13.oracle ++
       graft.queries.Analytics14.oracle ++
       graft.queries.Analytics15.oracle ++
+      graft.queries.Analytics16.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

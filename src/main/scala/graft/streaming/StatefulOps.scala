@@ -213,6 +213,49 @@ object StatefulOps {
     }
   }
 
+  case class EvTyped(user_id: Long, event_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** Per-user per-event-type running counters via a `MapState` handle
+    * — the keyed-submap state shape (per-product inventories,
+    * per-endpoint error tallies) completing the typed-handle trio
+    * next to [[NewHighsProcessor]]'s ValueState and
+    * [[TopKProcessor]]'s ListState. State is |types| longs per user;
+    * each batch increments and re-emits the full (bounded) map.
+    * Pure integer counts — oracle parity is exact, and emission
+    * order is irrelevant under the comparator's canonical sort. */
+  class TypeCountsProcessor extends StatefulProcessor[Long, EvTyped, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvTyped],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      counts.iterator().map { case (tp, n) => TypeCount(key, tp, n) }
+    }
+  }
+
+  /** Batch + streaming unified, like `newHighs`. */
+  def typeCounts(events: Dataset[EvTyped]): Dataset[TypeCount] = {
+    events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
+    implicit val outEnc: Encoder[TypeCount] = Encoders.product[TypeCount]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  def eventsWithType(s: SparkSession, dir: String): Dataset[EvTyped] = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .as[EvTyped]
+  }
+
   /** Batch + streaming unified, like `newHighs`. */
   def topK(events: Dataset[Ev]): Dataset[TopK] = {
     events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
@@ -263,6 +306,8 @@ object StatefulOps {
       cappedBalance(eventsTyped(s, d)).toDF()),
     "stream_tws_cusum" -> ((s, d) => cusum(eventsTyped(s, d)).toDF()),
     "stream_tws_topk" -> ((s, d) => topK(eventsTyped(s, d)).toDF()),
+    "stream_tws_typecounts" -> ((s, d) =>
+      typeCounts(eventsWithType(s, d)).toDF()),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
       // doubles (integer-cent sum, one division), and an engine-side
@@ -320,6 +365,9 @@ object StatefulOps {
         |FROM (SELECT user_id, rn, s, m, a,
         |        MAX(rn) OVER (PARTITION BY user_id) AS mx FROM r)
         |WHERE rn = mx""".stripMargin,
+    "stream_tws_typecounts" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
     "stream_tws_topk" ->
       """WITH e AS (SELECT user_id, event_id,
         |        CAST(ROUND(value * 100) AS BIGINT) AS cents

@@ -73,7 +73,10 @@ class EmptyInputSpec extends SparkTestBase {
     "llm_rouge_decontam", "sql_named_params", "mm_scene_cuts",
     // batch D
     "agg_pca_power", "graph_random_walk", "win_donchian", "text_rake",
-    "etl_cdc_apply")
+    "etl_cdc_apply",
+    // batch E
+    "win_ichimoku", "agg_var_es", "llm_cooccurrence", "agg_binseg_split",
+    "stream_tws_typecounts")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -95,7 +95,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // batch D: hash-deterministic walks, comparison-only channels,
     // quantized-integer RAKE ranking, decimal CDC census
     // (agg_pca_power excluded: the Gram sums merge doubles)
-    "graph_random_walk", "win_donchian", "text_rake", "etl_cdc_apply")
+    "graph_random_walk", "win_donchian", "text_rake", "etl_cdc_apply",
+    // batch E: compare-and-halve midpoints, integer co-occurrence,
+    // exact-decimal prefix-sum argmax, MapState integer counters
+    // (agg_var_es excluded: the ES tail mean sums doubles)
+    "win_ichimoku", "llm_cooccurrence", "agg_binseg_split",
+    "stream_tws_typecounts")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
