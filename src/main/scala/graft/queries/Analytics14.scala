@@ -155,8 +155,10 @@ object Analytics14 {
     * broadcast, the corpus side is one explode + equi-join per n-gram
     * order, nothing quadratic in the corpus. The n-gram extraction is
     * dialect-split; the scoring text is shared. */
-  private def rougeSql(uni: String, bi: String): String =
-    s"""WITH ev AS (SELECT doc_id FROM documents2
+  /** Shared CTE chain through the per-(doc, eval) overlap scores —
+    * also the base of [[Analytics16.llmHardNegatives]]. */
+  private[queries] def rougeCtes(uni: String, bi: String): String =
+    s"""ev AS (SELECT doc_id FROM documents2
        |        ORDER BY md5(CAST(doc_id AS STRING)), doc_id LIMIT 10),
        |u1 AS (SELECT doc_id, w FROM ($uni) GROUP BY doc_id, w),
        |b1 AS (SELECT doc_id, bg FROM ($bi) GROUP BY doc_id, bg),
@@ -167,7 +169,10 @@ object Analytics14 {
        |o1 AS (SELECT c.doc_id, e.doc_id AS eid, count(*) AS o
        |       FROM u1 c JOIN e1 e ON e.w = c.w GROUP BY 1, 2),
        |o2 AS (SELECT c.doc_id, e.doc_id AS eid, count(*) AS o
-       |       FROM b1 c JOIN e2 e ON e.bg = c.bg GROUP BY 1, 2),
+       |       FROM b1 c JOIN e2 e ON e.bg = c.bg GROUP BY 1, 2)""".stripMargin
+
+  private def rougeSql(uni: String, bi: String): String =
+    s"""WITH ${rougeCtes(uni, bi)},
        |r1 AS (SELECT o1.doc_id, max(CAST(o1.o AS DOUBLE) / n1.sz) AS r
        |       FROM o1 JOIN n1 ON n1.eid = o1.eid GROUP BY 1),
        |r2 AS (SELECT o2.doc_id, max(CAST(o2.o AS DOUBLE) / n2.sz) AS r
@@ -178,31 +183,31 @@ object Analytics14 {
        |FROM documents2 d
        |  LEFT JOIN r1 ON r1.doc_id = d.doc_id
        |  LEFT JOIN r2 ON r2.doc_id = d.doc_id
-       |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)""".stripMargin
+       |WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = d.doc_id)""".stripMargin
+
+  private[queries] val rougeSparkUni: String =
+    """SELECT doc_id, explode(split(text, ' ')) AS w FROM documents2"""
+  private[queries] val rougeSparkBi: String =
+    """SELECT doc_id, explode(transform(slice(ts, 1, size(ts) - 1),
+      |  (x, i) -> concat(x, ' ', element_at(ts, i + 2)))) AS bg
+      |FROM (SELECT doc_id, split(text, ' ') AS ts FROM documents2)""".stripMargin
+  private[queries] val rougeDuckUni: String =
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |FROM documents2""".stripMargin
+  private[queries] val rougeDuckBi: String =
+    """SELECT d.doc_id, d.ts[g] || ' ' || d.ts[g + 1] AS bg
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts
+      |      FROM documents2) d,
+      |  UNNEST(generate_series(1, len(d.ts) - 1)) AS t(g)""".stripMargin
 
   def llmRougeDecontam(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").createOrReplaceTempView("documents2")
-    val uni =
-      """SELECT doc_id, explode(split(text, ' ')) AS w FROM documents2"""
-    val bi =
-      """SELECT doc_id, explode(transform(slice(ts, 1, size(ts) - 1),
-        |  (x, i) -> concat(x, ' ', element_at(ts, i + 2)))) AS bg
-        |FROM (SELECT doc_id, split(text, ' ') AS ts FROM documents2)""".stripMargin
-    s.sql(rougeSql(uni, bi))
+    s.sql(rougeSql(rougeSparkUni, rougeSparkBi))
   }
 
-  private[queries] def rougeOracleSql: String = {
-    val uni =
-      """SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |FROM documents2""".stripMargin
-    val bi =
-      """SELECT d.doc_id, d.ts[g] || ' ' || d.ts[g + 1] AS bg
-        |FROM (SELECT doc_id, string_split(text, ' ') AS ts
-        |      FROM documents2) d,
-        |  UNNEST(generate_series(1, len(d.ts) - 1)) AS t(g)""".stripMargin
+  private[queries] def rougeOracleSql: String =
     s"WITH documents2 AS (SELECT * FROM documents),\n" +
-      rougeSql(uni, bi).replaceFirst("^WITH ", "")
-  }
+      rougeSql(rougeDuckUni, rougeDuckBi).replaceFirst("^WITH ", "")
 
   // ---------------------------------------------------------------------
   // sql_named_params

@@ -76,7 +76,9 @@ class EmptyInputSpec extends SparkTestBase {
     "etl_cdc_apply",
     // batch E
     "win_ichimoku", "agg_var_es", "llm_cooccurrence", "agg_binseg_split",
-    "stream_tws_typecounts")
+    "stream_tws_typecounts",
+    // batch F
+    "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -100,7 +100,9 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // exact-decimal prefix-sum argmax, MapState integer counters
     // (agg_var_es excluded: the ES tail mean sums doubles)
     "win_ichimoku", "llm_cooccurrence", "agg_binseg_split",
-    "stream_tws_typecounts")
+    "stream_tws_typecounts",
+    // batch F: integer sign census, watermark lags, exact-ratio mining
+    "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)

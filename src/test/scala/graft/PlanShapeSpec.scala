@@ -85,4 +85,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("graph_adamic_adar: scoring runs on equi-joins of the checkpointed edges") {
+    val p = physical("graph_adamic_adar")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"link-prediction scoring regressed to a non-equi join:\n$p")
+  }
+
+  test("llm_rouge_decontam: eval exclusion is a hash anti join, overlap joins equi") {
+    // NOT EXISTS on a non-null key must plan LeftAnti hash, not the
+    // null-aware BroadcastNestedLoopJoin a NOT IN spelling produces.
+    val p = physical("llm_rouge_decontam")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination planned a nested-loop/cartesian:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join for the eval exclusion:\n$p")
+  }
+
+  test("llm_cooccurrence: pair generation never goes all-pairs") {
+    // the two 1-row normalization cross joins legitimately plan BNLJ;
+    // anything beyond that means the (doc_id, pos) equi-join degraded
+    // to a per-document token cross product.
+    val p = physical("llm_cooccurrence")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"$bnlj nested-loop joins (expected ≤2 one-row):\n$p")
+  }
 }
