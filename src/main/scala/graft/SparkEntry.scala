@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Analytics15.queries ++
       graft.queries.Analytics16.queries ++
       graft.queries.Analytics17.queries ++
+      graft.queries.Analytics18.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       graft.queries.Analytics15.oracle ++
       graft.queries.Analytics16.oracle ++
       graft.queries.Analytics17.oracle ++
+      graft.queries.Analytics18.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -78,7 +78,9 @@ class EmptyInputSpec extends SparkTestBase {
     "win_ichimoku", "agg_var_es", "llm_cooccurrence", "agg_binseg_split",
     "stream_tws_typecounts",
     // batch F
-    "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives")
+    "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives",
+    // batch G
+    "llm_span_corruption", "agg_hhi", "win_pivot_points")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

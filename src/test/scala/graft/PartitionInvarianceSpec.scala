@@ -102,7 +102,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "win_ichimoku", "llm_cooccurrence", "agg_binseg_split",
     "stream_tws_typecounts",
     // batch F: integer sign census, watermark lags, exact-ratio mining
-    "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives")
+    "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives",
+    // batch G: md5-lattice masking census, fixed-shape pivot ladders
+    // (agg_hhi excluded: the 5-term share-square sum merges doubles)
+    "llm_span_corruption", "win_pivot_points")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
