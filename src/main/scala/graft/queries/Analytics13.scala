@@ -116,10 +116,15 @@ object Analytics13 {
     * the a.d < b.d half-plane — ALL integer, so the O(days²) pair
     * relation (calendar-bounded, the `agg_theil_sen` precedent) is
     * exact on both engines; only τ_b's final division is floating.
-    * The joined daily relation is checkpointed: the pair self-join
-    * reads it twice. */
+    * The joined daily relation is checkpointed (the pair self-join
+    * reads it twice) and its broadcast is EXPLICIT: the relation is
+    * calendar-bounded (≤ days rows at any corpus size — the r9
+    * "key-scaling broadcast" rule does not apply), and without the
+    * hint the checkpointed side's unknown stats degrade the non-equi
+    * join to CartesianProduct. */
   private def tauRestSql(joined: String): String =
-    s"""WITH p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+    s"""WITH p AS (SELECT /*+ BROADCAST(b) */
+       |        a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
        |      FROM $joined a JOIN $joined b ON a.d < b.d),
        |c AS (SELECT count(*) AS n0,
        |        sum(CASE WHEN (x1 < x2 AND y1 < y2)
