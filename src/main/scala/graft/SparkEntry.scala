@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.Analytics16.queries ++
       graft.queries.Analytics17.queries ++
       graft.queries.Analytics18.queries ++
+      graft.queries.Analytics19.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.queries.Analytics16.oracle ++
       graft.queries.Analytics17.oracle ++
       graft.queries.Analytics18.oracle ++
+      graft.queries.Analytics19.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -535,6 +535,48 @@ object Multimodal {
           least(col("f2") - col("frame_no"), lit(63))).as("fp"))
   }
 
+  case class Patch(media_id: Long, patch_row: Long, patch_col: Long,
+      n_px: Long, px_sum: Long)
+
+  /** ViT-style patchify THROUGH the real PNG codec: each decoded
+    * grayscale raster splits into 8×4 patches (the 32-wide images
+    * yield a 4-column grid; only full patch rows emit), one row per
+    * patch with its integer pixel sum. The decode is `ImageIO.read`
+    * on the encoded bytes — the oracle reconstructs the identical
+    * sums from the document characters, so the lossless round-trip is
+    * pinned PER PATCH, not just globally. Same never-shuffle-blobs
+    * mapPartitions boundary as [[decodeImages]]. */
+  def mmPatchify(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[Patch]
+    pngMediaFromDocuments(s, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        if (img == null) Iterator.empty
+        else {
+          val raster = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          val pw = 8; val ph = 4
+          val line = new Array[Int](w)
+          for {
+            pr <- 0 until h / ph
+            pc <- 0 until w / pw
+          } yield {
+            var sum = 0L
+            var dy = 0
+            while (dy < ph) {
+              raster.getSamples(0, pr * ph + dy, w, 1, 0, line)
+              var dx = 0
+              while (dx < pw) { sum += line(pc * pw + dx); dx += 1 }
+              dy += 1
+            }
+            Patch(r.media_id, pr.toLong, pc.toLong, (pw * ph).toLong, sum)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   case class SceneCuts(media_id: Long, n_frames: Long, n_cuts: Long,
       max_diff: Long)
 
@@ -574,6 +616,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_patchify" -> (mmPatchify _),
     "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_vad_segments" -> (mmVadSegments _),
@@ -588,6 +631,23 @@ object Multimodal {
     "mm_phash_neardup" -> (mmPhashNeardup _))
 
   val oracle: Map[String, String] = Map(
+    "mm_patchify" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |             least(len(text) // 32, 8) AS h
+        |           FROM documents WHERE len(text) >= 32),
+        |p AS (SELECT media_id, pr, pc,
+        |        sum(ascii(substr(text,
+        |          (pr * 4 + dy) * 32 + pc * 8 + dx + 1, 1))) AS px_sum
+        |      FROM m,
+        |        UNNEST(generate_series(0, m.h // 4 - 1)) AS a(pr),
+        |        UNNEST(generate_series(0, 3)) AS b(pc),
+        |        UNNEST(generate_series(0, 3)) AS c(dy),
+        |        UNNEST(generate_series(0, 7)) AS e(dx)
+        |      GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(pr AS BIGINT) AS patch_row,
+        |  CAST(pc AS BIGINT) AS patch_col,
+        |  CAST(32 AS BIGINT) AS n_px, CAST(px_sum AS BIGINT) AS px_sum
+        |FROM p""".stripMargin,
     "mm_scene_cuts" ->
       """WITH m AS (SELECT doc_id AS media_id, text, len(text) // 32 AS nf
         |           FROM documents WHERE len(text) >= 64),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.core.Tables
 
@@ -213,6 +213,114 @@ object StatefulOps {
     }
   }
 
+  case class EvTimed(user_id: Long, event_id: Long, us: Long)
+  case class Session(user_id: Long, sess_start_us: Long, sess_end_us: Long,
+      n_events: Long, closed_by: String)
+
+  /** EVENT-TIME TIMER sessionizer — the last `transformWithState`
+    * surface (registerTimer / handleExpiredTimer): sessions close
+    * either when a later event arrives past the 30-minute gap
+    * ('gap'), or when the WATERMARK passes last-seen + 30 min with no
+    * successor — an event-time timer fires and flushes the open
+    * session ('timer'). That second half is exactly what windows and
+    * folds cannot express: emission triggered by the ABSENCE of data.
+    * State is (start, last, n) plus the pending timer's expiry (kept
+    * in the value state so re-arming can delete the stale timer).
+    * In batch execution Spark runs the same operator with the
+    * watermark jumping to +∞ at the end, so every open session
+    * flushes through the SAME timer path — the graded batch query
+    * exercises handleExpiredTimer itself, and the streaming spec pins
+    * multi-batch equivalence. */
+  class TimerSessionProcessor extends StatefulProcessor[Long, EvTimed, Session] {
+    private val GapUs = 30L * 60 * 1000 * 1000
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvTimed],
+        timerValues: TimerValues): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var (start, last, n, oldExpiry) =
+        if (st.exists()) st.get() else (-1L, -1L, 0L, -1L)
+      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        if (start < 0) { start = e.us; last = e.us; n = 1 }
+        else if (e.us - last > GapUs) {
+          out += Session(key, start, last, n, "gap")
+          start = e.us; last = e.us; n = 1
+        } else { last = e.us; n += 1 }
+      }
+      if (oldExpiry >= 0) getHandle.deleteTimer(oldExpiry)
+      val expiry = (last + GapUs) / 1000 + 1
+      getHandle.registerTimer(expiry)
+      st.update((start, last, n, expiry))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val (start, last, n, _) = st.get()
+        st.clear()
+        Iterator.single(Session(key, start, last, n, "timer"))
+      }
+    }
+  }
+
+  /** Batch + streaming unified; EventTime mode needs the watermark on
+    * the original timestamp column, so callers pass a watermarked DF
+    * carrying (user_id, event_id, ts, us). */
+  def timerSessions(events: org.apache.spark.sql.DataFrame): Dataset[Session] = {
+    events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
+    implicit val inEnc: Encoder[EvTimed] = Encoders.product[EvTimed]
+    implicit val outEnc: Encoder[Session] = Encoders.product[Session]
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("us"))
+      .as[EvTimed]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TimerSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  def eventsTimed(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+
+  /** GRADED entry: event-time timers only exist on the streaming
+    * path (batch execution has no watermark to evaluate them — the
+    * engine rejects TimeMode.EventTime in batch), so this query runs
+    * the REAL streaming job, `availableNowRun`-style: file source →
+    * timer sessionizer on the RocksDB store → memory sink, driven to
+    * quiescence. The final no-data micro-batch (watermark advanced
+    * after the data batch) is what fires the timers; sessions whose
+    * expiry still sits past the final watermark stay open and are
+    * absent — the oracle models exactly that cutoff (watermark =
+    * max event ms − 600 000, timer fires when expiry < watermark). */
+  def timerSessionsRun(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val name = "graft_timer_sessions_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val src = graft.streaming.StreamingOps.eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+      val q = timerSessions(src).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   case class EvTyped(user_id: Long, event_id: Long, event_type: String)
   case class TypeCount(user_id: Long, event_type: String, n_events: Long)
 
@@ -308,6 +416,7 @@ object StatefulOps {
     "stream_tws_topk" -> ((s, d) => topK(eventsTyped(s, d)).toDF()),
     "stream_tws_typecounts" -> ((s, d) =>
       typeCounts(eventsWithType(s, d)).toDF()),
+    "stream_timer_sessions" -> (timerSessionsRun _),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
       // doubles (integer-cent sum, one division), and an engine-side
@@ -368,6 +477,30 @@ object StatefulOps {
     "stream_tws_typecounts" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |o AS (SELECT user_id, us, event_id,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o),
+        |g AS (SELECT user_id, sid, min(us) AS sess_start_us,
+        |        max(us) AS sess_end_us, count(*) AS n_events
+        |      FROM s GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(sid) AS mx FROM g GROUP BY 1),
+        |wm AS (SELECT max(us) // 1000 - 600000 AS w_ms FROM e)
+        |SELECT g.user_id, g.sess_start_us, g.sess_end_us,
+        |  CAST(g.n_events AS BIGINT) AS n_events,
+        |  CASE WHEN g.sid = m.mx THEN 'timer' ELSE 'gap' END AS closed_by
+        |FROM g JOIN m ON m.user_id = g.user_id CROSS JOIN wm
+        |WHERE g.sid <> m.mx
+        |   OR (g.sess_end_us + 1800000000) // 1000 + 1 < wm.w_ms""".stripMargin,
     "stream_tws_topk" ->
       """WITH e AS (SELECT user_id, event_id,
         |        CAST(ROUND(value * 100) AS BIGINT) AS cents

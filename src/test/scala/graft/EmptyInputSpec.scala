@@ -80,7 +80,11 @@ class EmptyInputSpec extends SparkTestBase {
     // batch F
     "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives",
     // batch G
-    "llm_span_corruption", "agg_hhi", "win_pivot_points")
+    "llm_span_corruption", "agg_hhi", "win_pivot_points",
+    // batch H (agg_effect_size's global-aggregate pivot carries a
+    // HAVING count(*) = 2 guard, so it is zero-row-safe)
+    "text_novelty", "mm_patchify", "sql_execute_immediate",
+    "agg_effect_size", "stream_timer_sessions")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

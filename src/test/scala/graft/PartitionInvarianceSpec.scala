@@ -105,7 +105,14 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "agg_mann_kendall", "etl_freshness_sla", "llm_hard_negatives",
     // batch G: md5-lattice masking census, fixed-shape pivot ladders
     // (agg_hhi excluded: the 5-term share-square sum merges doubles)
-    "llm_span_corruption", "win_pivot_points")
+    "llm_span_corruption", "win_pivot_points",
+    // batch H: integer novelty census, real-codec integer patch sums,
+    // parameterized-SQL decimal census, decimal-exact effect-size
+    // moments, and timer sessionization over integer micros (the
+    // streaming run re-executes per invocation and must not see task
+    // layout in its session boundaries)
+    "text_novelty", "mm_patchify", "sql_execute_immediate",
+    "agg_effect_size", "stream_timer_sessions")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
