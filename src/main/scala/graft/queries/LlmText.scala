@@ -918,10 +918,10 @@ object LlmText {
         .as("quality"))
   }
 
-  private val enMarkers = Seq("the", "a", "of", "and", "data", "table",
+  private[queries] val enMarkers = Seq("the", "a", "of", "and", "data", "table",
     "row", "join", "order", "filter", "group", "fast", "slow")
-  private val esMarkers = Seq("el", "la", "de", "los", "las", "datos", "y")
-  private val deMarkers = Seq("der", "die", "und", "das", "daten", "ein")
+  private[queries] val esMarkers = Seq("el", "la", "de", "los", "las", "datos", "y")
+  private[queries] val deMarkers = Seq("der", "die", "und", "das", "daten", "ein")
 
   private def hits(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => t.isin(markers: _*))).cast("long")

@@ -84,7 +84,10 @@ class EmptyInputSpec extends SparkTestBase {
     // batch H (agg_effect_size's global-aggregate pivot carries a
     // HAVING count(*) = 2 guard, so it is zero-row-safe)
     "text_novelty", "mm_patchify", "sql_execute_immediate",
-    "agg_effect_size", "stream_timer_sessions")
+    "agg_effect_size", "stream_timer_sessions",
+    // batch I (agg_two_proportion carries the HAVING count(*) = 2
+    // guard like agg_effect_size)
+    "llm_langid_eval", "etl_bitemporal", "agg_two_proportion")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -112,7 +112,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // streaming run re-executes per invocation and must not see task
     // layout in its session boundaries)
     "text_novelty", "mm_patchify", "sql_execute_immediate",
-    "agg_effect_size", "stream_timer_sessions")
+    "agg_effect_size", "stream_timer_sessions",
+    // batch I: integer confusion censuses, decimal bitemporal probes,
+    // integer conversion censuses
+    "llm_langid_eval", "etl_bitemporal", "agg_two_proportion")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
