@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Analytics18.queries ++
       graft.queries.Analytics19.queries ++
       graft.queries.Analytics20.queries ++
+      graft.queries.Analytics21.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -73,6 +74,7 @@ object SparkEntry {
       graft.queries.Analytics18.oracle ++
       graft.queries.Analytics19.oracle ++
       graft.queries.Analytics20.oracle ++
+      graft.queries.Analytics21.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

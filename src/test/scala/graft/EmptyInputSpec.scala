@@ -87,7 +87,10 @@ class EmptyInputSpec extends SparkTestBase {
     "agg_effect_size", "stream_timer_sessions",
     // batch I (agg_two_proportion carries the HAVING count(*) = 2
     // guard like agg_effect_size)
-    "llm_langid_eval", "etl_bitemporal", "agg_two_proportion")
+    "llm_langid_eval", "etl_bitemporal", "agg_two_proportion",
+    // batch J (agg_randomization_test's rstat carries a HAVING guard
+    // and obs collapses through the GROUP BY on empty input)
+    "win_heikin_ashi", "graph_hitting_prob", "agg_randomization_test")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

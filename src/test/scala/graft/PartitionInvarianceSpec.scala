@@ -115,7 +115,11 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "agg_effect_size", "stream_timer_sessions",
     // batch I: integer confusion censuses, decimal bitemporal probes,
     // integer conversion censuses
-    "llm_langid_eval", "etl_bitemporal", "agg_two_proportion")
+    "llm_langid_eval", "etl_bitemporal", "agg_two_proportion",
+    // batch J: array_sort-pinned HA fold, exact integer-cent
+    // randomization replicates (graph_hitting_prob excluded: its
+    // per-round matvec sums doubles across partitions)
+    "win_heikin_ashi", "agg_randomization_test")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
