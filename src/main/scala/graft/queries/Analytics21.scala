@@ -240,14 +240,71 @@ object Analytics21 {
   }
 
   // ---------------------------------------------------------------------
+  // agg_chow_test
+  // ---------------------------------------------------------------------
+
+  /** Chow test of a structural break at the HYPOTHESIZED date
+    * 1998-01-01 in the daily-revenue-on-time regression (the
+    * confirmatory twin of `agg_binseg_split`'s search): pooled and
+    * per-segment OLS residual sums from EXACT DECIMAL(38,0) censuses
+    * (x = day index, y = whole dollars; RSS = Syy − Sxy²/Sxx on
+    * centered second moments), then
+    * F = ((RSSp − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4)). Every
+    * floating value derives closed-form from exact integer sums. */
+  private def chowSql(orders: String, dayIdx: String): String = {
+    def seg(name: String, filter: String): String =
+      s"""$name AS (SELECT count(*) AS n,
+         |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy
+         |FROM daily $filter)""".stripMargin
+    def rss(t: String): String =
+      s"""(($t.syy - $t.sy * $t.sy / $t.n)
+         | - ($t.sxy - $t.sx * $t.sy / $t.n)
+         |   * ($t.sxy - $t.sx * $t.sy / $t.n)
+         |   / ($t.sxx - $t.sx * $t.sx / $t.n))""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT CAST($dayIdx AS BIGINT) AS x,
+       |         CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+       |              AS DECIMAL(19,0)) AS y,
+       |         CAST(o_orderdate AS DATE) >= DATE '1998-01-01' AS post
+       |  FROM $orders GROUP BY 1, 3),
+       |${seg("p", "")},
+       |${seg("s1", "WHERE NOT post")},
+       |${seg("s2", "WHERE post")}
+       |SELECT CAST(p.n AS BIGINT) AS n_days,
+       |  CAST(s1.n AS BIGINT) AS n_pre, CAST(s2.n AS BIGINT) AS n_post,
+       |  ${rss("p")} AS rss_pooled,
+       |  ${rss("s1")} + ${rss("s2")} AS rss_split,
+       |  CASE WHEN s1.n > 2 AND s2.n > 2
+       |         AND ${rss("s1")} + ${rss("s2")} > 0.0 THEN
+       |    ((${rss("p")} - ${rss("s1")} - ${rss("s2")}) / 2.0)
+       |      / ((${rss("s1")} + ${rss("s2")}) / (p.n - 4))
+       |  END AS chow_f
+       |FROM p CROSS JOIN s1 CROSS JOIN s2
+       |WHERE p.n > 0""".stripMargin
+  }
+
+  def aggChowTest(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_chow_orders")
+    s.sql(chowSql("graft_chow_orders",
+      "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_heikin_ashi" -> (winHeikinAshi _),
     "graph_hitting_prob" -> (graphHittingProb _),
-    "agg_randomization_test" -> (aggRandomizationTest _))
+    "agg_randomization_test" -> (aggRandomizationTest _),
+    "agg_chow_test" -> (aggChowTest _))
 
   val oracle: Map[String, String] = Map(
     "win_heikin_ashi" -> haOracleSql,
     "graph_hitting_prob" -> hitOracleSql,
-    "agg_randomization_test" -> randTestSql("events"))
+    "agg_randomization_test" -> randTestSql("events"),
+    "agg_chow_test" -> chowSql("orders",
+      "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"))
 }

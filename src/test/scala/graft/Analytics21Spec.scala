@@ -32,6 +32,16 @@ class Analytics21Spec extends SparkTestBase {
     }
   }
 
+  test("agg_chow_test: split RSS never exceeds pooled, F non-negative") {
+    val rows = run("agg_chow_test")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) + r.getLong(2) == r.getLong(0))
+    // per-segment OLS fits at least as well as the pooled line
+    assert(r.getDouble(4) <= r.getDouble(3) + 1e-6 * r.getDouble(3))
+    if (!r.isNullAt(5)) assert(r.getDouble(5) >= -1e-9)
+  }
+
   test("agg_randomization_test: p-value consistent with the extreme count") {
     val rows = run("agg_randomization_test")
     assert(rows.length == 1)

@@ -90,7 +90,9 @@ class EmptyInputSpec extends SparkTestBase {
     "llm_langid_eval", "etl_bitemporal", "agg_two_proportion",
     // batch J (agg_randomization_test's rstat carries a HAVING guard
     // and obs collapses through the GROUP BY on empty input)
-    "win_heikin_ashi", "graph_hitting_prob", "agg_randomization_test")
+    "win_heikin_ashi", "graph_hitting_prob", "agg_randomization_test",
+    // WHERE p.n > 0 keeps the Chow census off the one-null-row path
+    "agg_chow_test")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

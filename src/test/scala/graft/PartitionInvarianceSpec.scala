@@ -119,7 +119,9 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // batch J: array_sort-pinned HA fold, exact integer-cent
     // randomization replicates (graph_hitting_prob excluded: its
     // per-round matvec sums doubles across partitions)
-    "win_heikin_ashi", "agg_randomization_test")
+    "win_heikin_ashi", "agg_randomization_test",
+    // exact-decimal OLS censuses → closed-form F
+    "agg_chow_test")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
