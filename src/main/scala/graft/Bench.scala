@@ -136,14 +136,33 @@ object Bench {
     }
     case class Run(name: String, sec: Double, ok: Boolean,
       read: Long, write: Long, spill: Long,
-      gcMs: Long, peakMb: Long, cachedMemMb: Long, cachedDiskMb: Long)
+      gcMs: Long, peakMb: Long, cachedMemMb: Long, cachedDiskMb: Long,
+      tStart: Double, load: Double)
     val allQ = SparkEntry.queries.toSeq.sortBy(_._1)
     val (stageQ, restQ) = allQ.partition(_._1 == "llm_stage_index")
-    val results = (stageQ ++ restQ).map { case (name, fn) =>
+    // RANDOMIZED execution order (stage step still first — the memos
+    // must exist before their consumers). The r10 driver run showed 30
+    // queries >2.5× their local band in exactly 4 contiguous
+    // alphabetical windows; with alphabetical order "contiguous in the
+    // alphabet" and "contiguous in time" are indistinguishable, so
+    // host-contention windows could not be separated from slow query
+    // families. A seeded shuffle breaks the tie: a contention window
+    // now hits a RANDOM set of queries (different each run), while a
+    // genuinely slow query is slow at every position. The seed and each
+    // query's start offset + host loadavg are recorded below so the
+    // attribution is readable from bench_detail.json alone.
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val shuffled = new scala.util.Random(orderSeed).shuffle(restQ)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val benchT0 = System.nanoTime()
+    val results = (stageQ ++ shuffled).map { case (name, fn) =>
       val r0 = metrics.shuffleRead.get; val w0 = metrics.shuffleWrite.get
       val s0 = metrics.spilled.get; val g0 = metrics.gcTime.get + driverGcMs()
       metrics.peakExecMem.set(0)
+      val load = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
+      val tStart = (t0 - benchT0) / 1e9
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
@@ -156,7 +175,8 @@ object Bench {
         metrics.shuffleRead.get - r0, metrics.shuffleWrite.get - w0,
         metrics.spilled.get - s0,
         metrics.gcTime.get + driverGcMs() - g0,
-        metrics.peakExecMem.get / 1048576, cm / 1048576, cd / 1048576)
+        metrics.peakExecMem.get / 1048576, cm / 1048576, cd / 1048576,
+        tStart, load)
     }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     val secByName = results.map(r => r.name -> r.sec).toMap
@@ -168,7 +188,9 @@ object Bench {
           ",\"write_mb\":" + mb(r.write) + ",\"spill_mb\":" + mb(r.spill) +
           ",\"gc_ms\":" + r.gcMs + ",\"peak_exec_mb\":" + r.peakMb +
           ",\"cached_mem_mb\":" + r.cachedMemMb +
-          ",\"cached_disk_mb\":" + r.cachedDiskMb + "}" }
+          ",\"cached_disk_mb\":" + r.cachedDiskMb +
+          ",\"t_start\":" + f"${r.tStart}%.1f" +
+          ",\"load\":" + f"${r.load}%.1f" + "}" }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.filter(_.ok).map(_.sec).sum
@@ -180,9 +202,18 @@ object Bench {
     // driver-vs-local divergence is self-attributing from this file
     // alone (high gc_ms → heap pressure; spill/cached_disk with slow
     // scratch → IO; none of these → external contention).
+    // Per-memo staging breakdown: llm_stage_index's number decomposed
+    // into the individual index builds it triggered (the memo key's
+    // prefix before ':' names the index; the dir suffix is dropped).
+    val stageMemos = graft.queries.LlmText.stageTimings
+      .map { case (k, sec) =>
+        "\"" + k.takeWhile(_ != ':') + "\":" + f"$sec%.3f" }
+      .mkString("{", ",", "}")
     val env =
       s"""{"scratch":${scratch.map("\"" + _ + "\"").getOrElse("null")},""" +
-        s""""tmpfs":${scratch.isDefined}}"""
+        s""""tmpfs":${scratch.isDefined},"order_seed":$orderSeed,""" +
+        s""""order":"seeded_random_after_stage",""" +
+        s""""stage_memos":$stageMemos}"""
     val detail =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsAll,""" +
         s""""shuffle":$shuffle,"failed":$failed,"env":$env,"sf":$sfNum,"dir":"$sfDir"}"""

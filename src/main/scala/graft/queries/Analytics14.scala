@@ -156,7 +156,7 @@ object Analytics14 {
     * order, nothing quadratic in the corpus. The n-gram extraction is
     * dialect-split; the scoring text is shared. */
   /** Shared CTE chain through the per-(doc, eval) overlap scores —
-    * also the base of [[Analytics16.llmHardNegatives]]. */
+    * also the base of [[Analytics17.llmHardNegatives]]. */
   private[queries] def rougeCtes(uni: String, bi: String): String =
     s"""ev AS (SELECT doc_id FROM documents2
        |        ORDER BY md5(CAST(doc_id AS STRING)), doc_id LIMIT 10),

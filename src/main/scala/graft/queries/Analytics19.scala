@@ -51,7 +51,9 @@ object Analytics19 {
   def textNovelty(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").createOrReplaceTempView("graft_nv_docs")
     s.sql(noveltySql(
-      """SELECT doc_id, explode(transform(slice(ts, 1, size(ts) - 2),
+      """SELECT doc_id, explode(transform(
+        |  CASE WHEN size(ts) >= 3 THEN slice(ts, 1, size(ts) - 2)
+        |       ELSE array() END,
         |  (x, i) -> concat(x, ' ', element_at(ts, i + 2), ' ',
         |            element_at(ts, i + 3)))) AS tg
         |FROM (SELECT doc_id, split(text, ' ') AS ts

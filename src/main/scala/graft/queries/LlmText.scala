@@ -272,8 +272,23 @@ object LlmText {
       }
       val perSession = memoCache.computeIfAbsent(
         sid, _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate(key, compute)
+      perSession.getOrElseUpdate(key, {
+        val t0 = System.nanoTime()
+        val df = compute
+        memoTimings += ((key, (System.nanoTime() - t0) / 1e9))
+        df
+      })
     }
+
+  /** (memo key, build seconds) for every shared-index memo computed in
+    * this JVM, in build order. The bench reads this after running
+    * `llm_stage_index` so the staging step's cost is attributed PER
+    * INDEX in bench_detail.json instead of as one opaque number —
+    * growth across rounds is then traceable to the index that grew. */
+  private val memoTimings =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+  def stageTimings: Seq[(String, Double)] =
+    memoCache.synchronized { memoTimings.toList }
 
   /** Drop this session's memoized frames and their storage. Memoized
     * frames are localCheckpoints — their blocks are unrecomputable

@@ -248,7 +248,14 @@ object StatefulOps {
         else if (e.us - last > GapUs) {
           out += Session(key, start, last, n, "gap")
           start = e.us; last = e.us; n = 1
-        } else { last = e.us; n += 1 }
+        } else {
+          // Cross-micro-batch safety: a within-watermark out-of-order
+          // event arriving in a LATER batch may carry e.us < last (or
+          // even < start); clamping keeps sess_end_us monotone and the
+          // re-armed timer correct instead of silently moving backwards.
+          start = math.min(start, e.us); last = math.max(last, e.us)
+          n += 1
+        }
       }
       if (oldExpiry >= 0) getHandle.deleteTimer(oldExpiry)
       val expiry = (last + GapUs) / 1000 + 1

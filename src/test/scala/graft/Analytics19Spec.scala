@@ -24,7 +24,10 @@ class Analytics19Spec extends SparkTestBase {
     val totalNovel = rows.map(_.getLong(2)).sum
     val vocab = graft.core.Tables.load(spark, sf, "documents")
       .select(explode(expr(
-        """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),
+        """transform(
+          |  CASE WHEN size(split(text, ' ')) >= 3
+          |       THEN slice(split(text, ' '), 1, size(split(text, ' ')) - 2)
+          |       ELSE array() END,
           |  (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2),
           |            ' ', element_at(split(text, ' '), i + 3)))""".stripMargin))
         .as("tg")).select("tg").distinct().count()
