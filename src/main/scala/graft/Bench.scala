@@ -205,6 +205,9 @@ object Bench {
     // Per-memo staging breakdown: llm_stage_index's number decomposed
     // into the individual index builds it triggered (the memo key's
     // prefix before ':' names the index; the dir suffix is dropped).
+    // Times are INCLUSIVE of nested memo builds — a memo that computes
+    // another memo first (clusters ⊇ neardup ⊇ sigs) carries the whole
+    // chain; read the smallest-first deltas for exclusive costs.
     val stageMemos = graft.queries.LlmText.stageTimings
       .map { case (k, sec) =>
         "\"" + k.takeWhile(_ != ':') + "\":" + f"$sec%.3f" }
