@@ -54,7 +54,9 @@ object Bench {
     "agg_market_basket", "llm_quality_logit", "llm_rank_fusion",
     "stream_tws_cusum",
     // round-10: lossy-codec tier and the dual-axis catalog layout
-    "mm_decode_jpeg", "scan_catalog_bucketed")
+    "mm_decode_jpeg", "scan_catalog_bucketed",
+    // round-11: row-level SQL statements and batch-B representatives
+    "sql_merge_into", "scan_csv_multiline", "llm_curriculum_order")
 
   /** Keep the final stdout line comfortably inside the collector's
     * 2000-char tail (sbt appends its own "[success] …" trailer). */

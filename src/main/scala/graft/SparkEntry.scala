@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.Analytics20.queries ++
       graft.queries.Analytics21.queries ++
       graft.queries.Analytics22.queries ++
+      graft.queries.Analytics23.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -77,6 +78,7 @@ object SparkEntry {
       graft.queries.Analytics20.oracle ++
       graft.queries.Analytics21.oracle ++
       graft.queries.Analytics22.oracle ++
+      graft.queries.Analytics23.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -372,6 +372,35 @@ object Analytics12 {
        |FROM dt JOIN vocab v ON v.w = dt.w
        |GROUP BY dt.doc_id""".stripMargin
 
+  /** Fertility half ([[Analytics23.llmTokenizerFertility]]): same
+    * chain as [[bpeApplyChain]] but rolled up per LANGUAGE —
+    * tokens-per-word under the trained merges, the standard
+    * tokenizer-equity audit (a lang with fertility ≫ 1 pays more
+    * sequence length per word than the tokenizer's home language).
+    * `docToks` must yield (lang, w). */
+  private[queries] def bpeFertilityChain(words: String,
+      pairs: String => String, docToks: String,
+      vocabSize: String): String =
+    s"""${bpeChain(words, pairs)},
+       |st3 AS (${bpeMerge("st2", "m3")}),
+       |vocab AS (SELECT w, CAST($vocabSize AS BIGINT) AS n_syms FROM st3),
+       |dt AS ($docToks)
+       |SELECT dt.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(v.n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(v.n_syms) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(sum(length(dt.w)) AS BIGINT) AS n_chars
+       |FROM dt JOIN vocab v ON v.w = dt.w
+       |GROUP BY dt.lang""".stripMargin
+
+  private[queries] def bpeFertilityOracleSql: String = {
+    val docToks =
+      """SELECT lang, w FROM (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents) t WHERE regexp_matches(w, '^[a-z]+$')""".stripMargin
+    bpeFertilityChain(bpeOracleWords, bpeOraclePairs, docToks,
+      "len(string_split(trim(s), ' '))")
+  }
+
   private[queries] def bpeApplyOracleSql: String = {
     val docToks =
       """SELECT doc_id, w FROM (

@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
-/** Round-11 batch A: the SQL `MERGE INTO` statement surface.
+/** Round-11 batch A: the SQL row-level statement surface —
+  * `MERGE INTO`, `UPDATE`, `DELETE` against the DSv2 row-level
+  * catalog.
   *
   *  - `sql_merge_into` — a REAL four-clause `MERGE INTO` statement
   *    (matched-conditional UPDATE, matched DELETE, not-matched
@@ -94,8 +96,67 @@ object Analytics22 {
             |GROUP BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------------
+  // sql_update / sql_delete
+  // ---------------------------------------------------------------------
+
+  /** Seed a MemRowCatalog table `name` with the k%3=0 orders slice
+    * (the `sql_merge_into` target shape). Drop-and-recreate per
+    * invocation: each statement query owns its table, so Verify/Bench
+    * order cannot couple them. */
+  private def seedStatementTable(s: SparkSession, dir: String,
+      name: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.MemRowCatalog].getName)
+    s.sql(s"DROP TABLE IF EXISTS graft_mem.db.$name")
+    s.sql(s"""CREATE TABLE graft_mem.db.$name
+             |  (k BIGINT NOT NULL, status STRING, price DECIMAL(18,4),
+             |   version INT)""".stripMargin)
+    t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("price"),
+        lit(1).as("version"))
+      .createOrReplaceTempView(s"graft_seed_$name")
+    s.sql(s"INSERT INTO graft_mem.db.$name SELECT * FROM graft_seed_$name")
+  }
+
+  private def statusCensusSql(name: String): String =
+    s"""SELECT status, count(*) AS n,
+       |  CAST(sum(price) AS DOUBLE) AS total,
+       |  CAST(sum(version) AS BIGINT) AS sum_version
+       |FROM graft_mem.db.$name
+       |GROUP BY status""".stripMargin
+
+  /** The SQL `UPDATE … SET … WHERE` statement against the row-level
+    * catalog: a 10%-off repricing of one key slice, planned by Spark
+    * as a delta write (per-row update ops, atomic commit). The ×0.9
+    * product of a 2-decimal price has ≤3 decimals — exact in
+    * DECIMAL(18,4), no rounding anywhere. */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    seedStatementTable(s, dir, "orders_upd")
+    s.sql("""UPDATE graft_mem.db.orders_upd
+            |SET status = 'X',
+            |    price = CAST(price * CAST(0.9 AS DECIMAL(8,4))
+            |                 AS DECIMAL(18,4)),
+            |    version = version + 1
+            |WHERE k % 7 = 0""".stripMargin)
+    s.sql(statusCensusSql("orders_upd"))
+  }
+
+  /** The SQL `DELETE FROM … WHERE` statement (compound predicate)
+    * against the row-level catalog — per-row delete ops, atomic
+    * commit. */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    seedStatementTable(s, dir, "orders_del")
+    s.sql("""DELETE FROM graft_mem.db.orders_del
+            |WHERE k % 5 = 0 OR price > 300000""".stripMargin)
+    s.sql(statusCensusSql("orders_del"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_merge_into" -> (sqlMergeInto _))
+    "sql_merge_into" -> (sqlMergeInto _),
+    "sql_update" -> (sqlUpdate _),
+    "sql_delete" -> (sqlDelete _))
 
   /** DuckDB has no MERGE at the pinned oracle version, so the twin is
     * the clause-by-clause relational expansion: matched-update via
@@ -130,5 +191,33 @@ object Analytics22 {
         |SELECT status, COUNT(*) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total,
         |  CAST(SUM(version) AS BIGINT) AS sum_version
-        |FROM kept GROUP BY status""".stripMargin)
+        |FROM kept GROUP BY status""".stripMargin,
+    "sql_update" ->
+      """WITH tgt AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |               CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |               1 AS version
+        |             FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (SELECT k,
+        |          CASE WHEN k % 7 = 0 THEN 'X' ELSE status END AS status,
+        |          CASE WHEN k % 7 = 0
+        |               THEN CAST(price * CAST(0.9 AS DECIMAL(8,4))
+        |                         AS DECIMAL(18,4))
+        |               ELSE price END AS price,
+        |          CASE WHEN k % 7 = 0 THEN version + 1
+        |               ELSE version END AS version
+        |        FROM tgt)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  CAST(SUM(version) AS BIGINT) AS sum_version
+        |FROM upd GROUP BY status""".stripMargin,
+    "sql_delete" ->
+      """WITH tgt AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |               CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |               1 AS version
+        |             FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  CAST(SUM(version) AS BIGINT) AS sum_version
+        |FROM tgt WHERE NOT (k % 5 = 0 OR price > 300000)
+        |GROUP BY status""".stripMargin)
 }
