@@ -101,6 +101,34 @@ object HtmlTableIngest {
     linkTable(rootHtml, baseUrl)
       .map(l => ScrapeSource(l.stockName, fetcherFor(l.link)))
 
+  /** S1 PRODUCTION fetcher: a JDK HttpClient GET with timeout and
+    * redirect-following. Non-2xx statuses throw, so
+    * [[fetchWithRetry]] retries them and [[ingest]]'s S7 isolation
+    * catches terminal failures — the full live path is the same code
+    * the fixture-fed tests run, with only this thunk swapped in
+    * (LiveIngestSpec drives it against a loopback HTTP server, so the
+    * socket path is exercised even in an egress-less environment).
+    * The client is built once per fetcher and reused across retries. */
+  def httpFetcher(url: String, timeoutMs: Long = 10000L): () => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    () => {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("User-Agent", "graft-ingest/1.0")
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"HTTP ${resp.statusCode()} for $url")
+      resp.body()
+    }
+  }
+
   /** S1: retry with linear backoff. */
   def fetchWithRetry(fetch: () => String, maxRetries: Int = 3,
       backoffMs: Long = 0L): String = {

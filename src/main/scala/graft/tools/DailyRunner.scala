@@ -84,13 +84,67 @@ object DailyRunner {
     loaded
   }
 
+  /** LIVE extract half (S1–S8 against real sockets): fetch the root
+    * page, resolve its link table to per-stock sources, scrape each
+    * with retry + pacing, and land the raw all-string rows as CSV in
+    * `landingDir` — exactly the files [[runOnce]] then drains. The
+    * fetcher is [[graft.sources.HtmlTableIngest.httpFetcher]]; in an
+    * egress-less environment the root fetch throws and [[main]] exits
+    * with a clean `"skipped"` line instead of failing the schedule.
+    * Returns the number of raw rows landed. */
+  def scrapeOnce(spark: SparkSession, rootUrl: String, landingDir: String,
+      paceMs: Long = 200L, backoffMs: Long = 500L): Long = {
+    import graft.sources.HtmlTableIngest
+    val root = HtmlTableIngest.fetchWithRetry(
+      HtmlTableIngest.httpFetcher(rootUrl), backoffMs = backoffMs)
+    val base = {
+      val u = java.net.URI.create(rootUrl)
+      s"${u.getScheme}://${u.getAuthority}"
+    }
+    val sources = HtmlTableIngest.sourcesFromRoot(root, base,
+      url => HtmlTableIngest.httpFetcher(url))
+    val raw = HtmlTableIngest.ingest(spark, sources,
+      paceMs = paceMs, backoffMs = backoffMs)
+    if (raw.columns.isEmpty) 0L
+    else {
+      // Append-mode CSV: each scheduled scrape lands NEW part files,
+      // which the checkpointed drain recognizes as the day's backlog.
+      raw.write.mode("append").option("header", "true").csv(landingDir)
+      raw.count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(csvDir, tablePath, ckpt) = args.take(3)
     val spark = graft.core.GraftSession.get()
-    val n = runOnce(spark, csvDir, tablePath, ckpt)
-    // The reference's post-load row-count verification (dump_bigq.py:
-    // 148-149), as the run's one observable line.
-    println(s"""{"daily_run":"ok","rows_loaded":$n,"table":"$tablePath"}""")
+    args.toList match {
+      // --scrape <rootUrl> <landingDir> [<tablePath> <ckpt>]: live
+      // extract, then (optionally) the drain in the same invocation —
+      // the one-command spelling of the reference's whole DAG.
+      case "--scrape" :: rootUrl :: landingDir :: rest =>
+        val scraped =
+          try Some(scrapeOnce(spark, rootUrl, landingDir))
+          catch { case e: Throwable =>
+            println(s"""{"daily_run":"skipped","reason":"no egress or root unreachable: ${e.getClass.getSimpleName}"}""")
+            None
+          }
+        scraped.foreach { n =>
+          val drained = rest match {
+            case tablePath :: ckpt :: Nil =>
+              val r = runOnce(spark, landingDir, tablePath, ckpt)
+              s""","rows_loaded":$r,"table":"$tablePath""""
+            case _ => ""
+          }
+          println(s"""{"daily_run":"ok","rows_scraped":$n$drained}""")
+        }
+      case csvDir :: tablePath :: ckpt :: _ =>
+        val n = runOnce(spark, csvDir, tablePath, ckpt)
+        // The reference's post-load row-count verification
+        // (dump_bigq.py:148-149), as the run's one observable line.
+        println(s"""{"daily_run":"ok","rows_loaded":$n,"table":"$tablePath"}""")
+      case other =>
+        System.err.println(
+          s"usage: <csvDir> <tablePath> <ckpt> | --scrape <rootUrl> <landingDir> [<tablePath> <ckpt>]; got $other")
+    }
     spark.stop()
   }
 }
