@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Analytics21.queries ++
       graft.queries.Analytics22.queries ++
       graft.queries.Analytics23.queries ++
+      graft.queries.Analytics24.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       graft.queries.Analytics21.oracle ++
       graft.queries.Analytics22.oracle ++
       graft.queries.Analytics23.oracle ++
+      graft.queries.Analytics24.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -1261,6 +1261,67 @@ object LlmText {
           / count(lit(1)).cast("double")).as("dup_ratio"))
   }
 
+  /** Near-dup pair census by SOURCE pair — the data-governance view of
+    * the LSH index: which dataset pairs leak into each other (the
+    * question a multi-source corpus audit asks before mixing). Pure
+    * consumer of the staged pair memo ([[minhashNearDup]]) plus one
+    * dimension join; the jaccard mean is rounded at 6 dp (sum-order
+    * ulp protection, the ccnet precedent). */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("mean_jaccard"))
+  }
+
+  /** Deterministic contrastive-triplet mining: for every doc with a
+    * near-dup, (anchor, positive, negative) where positive = its
+    * highest-jaccard LSH partner and negative = the md5-argmin
+    * non-partner from a bounded candidate slice (doc_id < 64) — the
+    * (A, A′, B) construction of contrastive/embedding training data.
+    * The only non-equi step is the anchors × 64-candidate broadcast
+    * product, bounded by construction (a real pipeline samples
+    * negatives from a fixed reservoir the same way); everything else
+    * consumes the staged pair memo. */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir)
+    val both = pairs
+      .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("anchor"),
+        col("doc_a").as("partner"), col("jaccard")))
+    val wp = Window.partitionBy("anchor")
+      .orderBy(col("jaccard").desc, col("partner"))
+    val pos = both.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("partner").as("positive"),
+        col("jaccard").as("jaccard_pos"))
+    val cands = docs(s, dir).select(col("doc_id").as("cand"))
+      .filter(col("cand") < 64)
+    val wn = Window.partitionBy("anchor").orderBy(col("h"), col("cand"))
+    val neg = pos.select("anchor")
+      .crossJoin(broadcast(cands))
+      .filter(col("cand") =!= col("anchor"))
+      .join(both.select(col("anchor"), col("partner").as("cand")),
+        Seq("anchor", "cand"), "left_anti")
+      .withColumn("h", md5(concat(col("anchor").cast("string"), lit(":"),
+        col("cand").cast("string"))))
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("cand").as("negative"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("positive"), col("negative"),
+        col("jaccard_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dataset_card" -> (datasetCard _),
     "llm_stage_index" -> (stageIndex _),
@@ -1301,7 +1362,9 @@ object LlmText {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "llm_cross_source_overlap" -> (crossSourceOverlap _),
+    "llm_contrastive_pairs" -> (contrastivePairs _))
 
   // Shared oracle CTE fragments (DuckDB dialect).
   private val shingleCte =
@@ -1310,6 +1373,34 @@ object LlmText {
       |         unnest(list_transform(range(greatest(len(t) - 2, 0)),
       |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
       |       FROM d)""".stripMargin
+
+  /** The minhash band→candidate→verified-pair chain as a CTE list
+    * ending in `pairs(doc_a, doc_b, jaccard)` — the pair relation the
+    * source-overlap and contrastive-triplet oracles consume (the
+    * final-SELECT spelling for the graded pair list itself is
+    * [[jaccardTail]]). */
+  private val minhashPairCtes =
+    """bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
+      |msigs AS (SELECT doc_id, band,
+      |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
+      |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
+      |         FROM bands GROUP BY doc_id, band),
+      |mcands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM msigs a JOIN msigs b
+      |            ON a.band = b.band AND a.sig = b.sig
+      |           AND a.doc_id < b.doc_id),
+      |msizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |minter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |          FROM mcands c
+      |          JOIN sh sa ON sa.doc_id = c.doc_a
+      |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      |          GROUP BY c.doc_a, c.doc_b),
+      |pairs AS (SELECT doc_a, doc_b,
+      |            n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+      |          FROM minter
+      |          JOIN msizes za ON za.doc_id = doc_a
+      |          JOIN msizes zb ON zb.doc_id = doc_b
+      |          WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5)""".stripMargin
 
   private val jaccardTail =
     """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1378,6 +1469,43 @@ object LlmText {
       |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) / 65536.0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_cross_source_overlap" ->
+      s"""WITH $shingleCte,
+         |$minhashPairCtes,
+         |j AS (SELECT least(da.source, db.source) AS source_a,
+         |        greatest(da.source, db.source) AS source_b, p.jaccard
+         |      FROM pairs p
+         |      JOIN documents da ON da.doc_id = p.doc_a
+         |      JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  ROUND(AVG(jaccard), 6) AS mean_jaccard
+         |FROM j GROUP BY source_a, source_b""".stripMargin,
+    "llm_contrastive_pairs" ->
+      s"""WITH $shingleCte,
+         |$minhashPairCtes,
+         |bo AS (SELECT doc_a AS anchor, doc_b AS partner, jaccard
+         |       FROM pairs
+         |       UNION ALL
+         |       SELECT doc_b, doc_a, jaccard FROM pairs),
+         |pos AS (SELECT anchor, partner AS positive, jaccard AS jaccard_pos,
+         |          row_number() OVER (PARTITION BY anchor
+         |            ORDER BY jaccard DESC, partner) AS rn
+         |        FROM bo),
+         |p1 AS (SELECT anchor, positive, jaccard_pos FROM pos WHERE rn = 1),
+         |cand AS (SELECT doc_id AS cand FROM documents WHERE doc_id < 64),
+         |negc AS (SELECT p.anchor, c.cand,
+         |           md5(CAST(p.anchor AS VARCHAR) || ':' ||
+         |               CAST(c.cand AS VARCHAR)) AS h
+         |         FROM p1 p CROSS JOIN cand c
+         |         WHERE c.cand <> p.anchor
+         |           AND NOT EXISTS (SELECT 1 FROM bo b
+         |             WHERE b.anchor = p.anchor AND b.partner = c.cand)),
+         |neg AS (SELECT anchor, cand AS negative,
+         |          row_number() OVER (PARTITION BY anchor
+         |            ORDER BY h, cand) AS rn
+         |        FROM negc)
+         |SELECT p1.anchor, p1.positive, n.negative, p1.jaccard_pos
+         |FROM p1 JOIN neg n ON n.anchor = p1.anchor AND n.rn = 1""".stripMargin,
     // Staging cardinalities: the clusters/pairs counts reuse the full
     // near-dup pipeline CTEs (flattened single WITH RECURSIVE list —
     // DuckDB rejects a WITH inside a derived-table subquery); the
