@@ -615,7 +615,96 @@ object Multimodal {
     }.toDF()
   }
 
+  case class PixelBlob(media_id: Long, blob_md5: String, pixel_md5: String)
+
+  /** RGB re-encodes of every 7th image: the SAME gray pixels written
+    * through `TYPE_INT_RGB` — a byte-for-byte different PNG (color
+    * type 2 vs 0) whose decoded band-0 samples are identical. The
+    * "same photo exported twice" case byte-level dedup cannot see. */
+  private def rgbCopies(s: SparkSession, dir: String,
+      width: Int = 32, maxRows: Int = 8): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    mediaFromDocuments(s, dir).filter(_.media_id % 7 == 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val h = math.min(r.content.length / width, maxRows)
+          if (h < 1) None
+          else {
+            val img = new java.awt.image.BufferedImage(
+              width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < width) {
+                val v = r.content(y * width + x) & 0xff
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some(MediaRow(r.media_id + 1000000000L, bos.toByteArray,
+              "image/png"))
+          }
+        }
+      }
+  }
+
+  /** PIXEL-level exact dedup through the real codec — the operator
+    * that catches RE-ENCODED duplicates (same pixels, different
+    * container bytes), which byte-level `mm_blob_dedup` structurally
+    * cannot: the roll is every document image plus an RGB re-encode
+    * of every 7th, and the census compares grouping by blob md5
+    * (bytes) against grouping by the md5 of the decoded band-0
+    * samples. `n_reencoded_groups` is exactly the pixel groups whose
+    * members span both encodings. Blobs never shuffle — both digests
+    * are computed in one mapPartitions pass and only the 2×16-byte
+    * digests aggregate. The oracle reconstructs every digest from the
+    * document text (ASCII byte ⇒ pixel sample, the `mm_decode_png`
+    * device), pinning the full encode→decode→digest chain. */
+  def mmPixelDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[PixelBlob]
+    val all = pngMediaFromDocuments(s, dir).union(rgbCopies(s, dir))
+    all.mapPartitions { rows =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String =
+        b.map("%02x".format(_)).mkString
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Byte](w * h)
+          val line = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, 0, line)
+            var x = 0
+            while (x < w) { px(y * w + x) = line(x).toByte; x += 1 }
+            y += 1
+          }
+          md5.reset()
+          val blobDigest = hex(md5.digest(r.content))
+          md5.reset()
+          val pixelDigest = hex(md5.digest(px))
+          Some(PixelBlob(r.media_id, blobDigest, pixelDigest))
+        }
+      }
+    }.toDF()
+      .agg(count(lit(1)).as("n_blobs"),
+        countDistinct(col("blob_md5")).as("n_blob_groups"),
+        countDistinct(col("pixel_md5")).as("n_pixel_groups"),
+        (countDistinct(col("blob_md5")) - countDistinct(col("pixel_md5")))
+          .as("n_reencoded_groups"),
+        (count(lit(1)) - countDistinct(col("pixel_md5")))
+          .as("n_dup_pixel_blobs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pixel_dedup" -> (mmPixelDedup _),
     "mm_patchify" -> (mmPatchify _),
     "mm_scene_cuts" -> (mmSceneCuts _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
@@ -631,6 +720,21 @@ object Multimodal {
     "mm_phash_neardup" -> (mmPhashNeardup _))
 
   val oracle: Map[String, String] = Map(
+    "mm_pixel_dedup" ->
+      """WITH imgs AS (SELECT doc_id AS media_id,
+        |                substr(text, 1, 32 * least(len(text) // 32, 8)) AS pix
+        |              FROM documents WHERE len(text) >= 32),
+        |allb AS (SELECT 'g' AS fmt, pix FROM imgs
+        |         UNION ALL
+        |         SELECT 'c', pix FROM imgs WHERE media_id % 7 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_blobs,
+        |  CAST(COUNT(DISTINCT fmt || md5(pix)) AS BIGINT) AS n_blob_groups,
+        |  CAST(COUNT(DISTINCT md5(pix)) AS BIGINT) AS n_pixel_groups,
+        |  CAST(COUNT(DISTINCT fmt || md5(pix))
+        |       - COUNT(DISTINCT md5(pix)) AS BIGINT) AS n_reencoded_groups,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(pix)) AS BIGINT)
+        |    AS n_dup_pixel_blobs
+        |FROM allb""".stripMargin,
     "mm_patchify" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |             least(len(text) // 32, 8) AS h

@@ -55,13 +55,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class MemRowCatalog extends TableCatalog {
   private var catalogName: String = _
-  private val tables = new TrieMap[String, MemRowTable]
+  private var tables: TrieMap[String, MemRowTable] = _
 
   private def key(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString(".")
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    // The store is JVM-shared per catalog NAME, not per plugin
+    // instance: Spark instantiates one plugin per SparkSession, and a
+    // streaming foreachBatch body runs in a CLONED session — a
+    // per-instance store would show that clone an empty catalog. A
+    // real catalog behaves the same way (the metastore is shared
+    // infrastructure, the plugin a stateless client of it).
+    tables = MemRowCatalog.stores
+      .getOrElseUpdate(name, new TrieMap[String, MemRowTable])
+  }
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -96,6 +106,11 @@ class MemRowCatalog extends TableCatalog {
       .getOrElse(throw new NoSuchTableException(from))
     tables.put(key(to), t): Unit
   }
+}
+
+object MemRowCatalog {
+  /** catalog name → its table map (see [[MemRowCatalog.initialize]]). */
+  private val stores = new TrieMap[String, TrieMap[String, MemRowTable]]
 }
 
 /** One in-memory table: contents are an atomically-swapped immutable
