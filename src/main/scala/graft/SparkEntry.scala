@@ -42,6 +42,7 @@ object SparkEntry {
       graft.queries.Analytics22.queries ++
       graft.queries.Analytics23.queries ++
       graft.queries.Analytics24.queries ++
+      graft.queries.Analytics25.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       graft.queries.Analytics22.oracle ++
       graft.queries.Analytics23.oracle ++
       graft.queries.Analytics24.oracle ++
+      graft.queries.Analytics25.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
