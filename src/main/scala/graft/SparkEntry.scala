@@ -43,6 +43,7 @@ object SparkEntry {
       graft.queries.Analytics23.queries ++
       graft.queries.Analytics24.queries ++
       graft.queries.Analytics25.queries ++
+      graft.queries.Analytics26.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -83,6 +84,7 @@ object SparkEntry {
       graft.queries.Analytics23.oracle ++
       graft.queries.Analytics24.oracle ++
       graft.queries.Analytics25.oracle ++
+      graft.queries.Analytics26.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -524,7 +524,7 @@ object Analytics11 {
 
   /** Shared star-join + threshold + symmetrize text for the nation
     * graph oracles (identical to the graph_triangles family). */
-  private val symCte: String =
+  private[queries] val symCte: String =
     """pair AS (SELECT c.c_nationkey AS na, s.s_nationkey AS nb,
       |           count(*) AS cnt
       |         FROM lineitem l
