@@ -81,9 +81,55 @@ object Analytics25 {
        |FROM sc JOIN it3 ON it3.f = sc.f JOIN n ON n.f = sc.f""".stripMargin
   }
 
+  /** Spark side of the identical lattice arithmetic, over a
+    * checkpointed 2-column relation: the SQL-CTE spelling re-inlines
+    * the decimal-cast lineitem scan once per reference (≈6 scans,
+    * 8.7 s at sf0.1); checkpointing `x` once makes every subsequent
+    * pass — two percentiles + three weighted aggregations, all
+    * against broadcast per-flag constants — a scan of the narrow
+    * cached relation (≈2 s). The DuckDB oracle keeps the shared
+    * [[huberSql]] text. */
   def aggHuberMean(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("graft_hub_lineitem")
-    s.sql(huberSql("graft_hub_lineitem", e => s"percentile($e, 0.5)"))
+    val x = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        col("l_extendedprice").cast(DecimalType(18, 4)).as("x"))
+      .localCheckpoint(eager = true)
+    // median over the RAW double column: a 2-dec price's DECIMAL(18,4)
+    // → double round-trip is the identity, so the values (and the
+    // interpolated median) are bit-identical to the oracle's
+    // CAST(x AS DOUBLE) — and the pass skips the decimal conversion.
+    val m0 = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("f"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4)
+        .cast(DecimalType(18, 4)).as("mu"))
+    val mad = x.join(broadcast(m0), "f")
+      .select(col("f"), abs(col("x") - col("mu")).cast("double").as("adev"))
+      .groupBy("f")
+      .agg(round(expr("percentile(adev, 0.5)"), 4)
+        .cast(DecimalType(18, 4)).as("mad"))
+    val sc = m0.join(mad, "f")
+      .select(col("f"), col("mu").as("med"), col("mad"),
+        (lit(2) * col("mad")).cast(DecimalType(18, 4)).as("c"))
+    var mu = m0
+    for (_ <- 1 to 3) {
+      mu = x.join(broadcast(sc.select("f", "c")), "f")
+        .join(broadcast(mu), "f")
+        .withColumn("ad", abs(col("x") - col("mu")))
+        .withColumn("w",
+          when(col("c") === 0 || col("ad") <= col("c"),
+            lit(1.0).cast(DecimalType(8, 6)))
+            .otherwise(round(col("c").cast("double") / col("ad").cast("double"), 6)
+              .cast(DecimalType(8, 6))))
+        .groupBy("f")
+        .agg(round(sum(col("x") * col("w")).cast("double") /
+          sum("w").cast("double"), 4).cast(DecimalType(18, 4)).as("mu"))
+    }
+    val n = x.groupBy("f").agg(count(lit(1)).as("n"))
+    sc.join(mu, "f").join(n, "f")
+      .select(col("f").as("l_returnflag"),
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"),
+        col("mu").cast("double").as("huber_mean"), col("n"))
   }
 
   // ---------------------------------------------------------------------
