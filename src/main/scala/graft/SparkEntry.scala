@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.Analytics24.queries ++
       graft.queries.Analytics25.queries ++
       graft.queries.Analytics26.queries ++
+      graft.queries.Analytics27.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -85,6 +86,7 @@ object SparkEntry {
       graft.queries.Analytics24.oracle ++
       graft.queries.Analytics25.oracle ++
       graft.queries.Analytics26.oracle ++
+      graft.queries.Analytics27.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -1322,7 +1322,25 @@ object LlmText {
         col("jaccard_pos"))
   }
 
+  /** Threshold-sweep over the verified near-dup pair table: pair and
+    * affected-document counts at Jaccard cutoffs 0.5…0.9 — the tuning
+    * table a dedup operator reads before picking its production
+    * threshold. Pure consumer of the staged pair memo crossed with a
+    * 5-row threshold dim; the ≥ comparisons are exact-ratio-vs-
+    * literal, identical on both engines. */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir)
+    val thr = s.range(5, 10).toDF("i")
+      .select((col("i") / 10.0).as("thr"))
+    broadcast(thr).join(pairs, col("jaccard") >= col("thr"))
+      .groupBy("thr")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_left"),
+        countDistinct(col("doc_b")).as("n_docs_right"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "llm_dataset_card" -> (datasetCard _),
     "llm_stage_index" -> (stageIndex _),
     "llm_inverted_index" -> (invertedIndex _),
@@ -1469,6 +1487,16 @@ object LlmText {
       |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) / 65536.0""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_threshold_sweep" ->
+      s"""WITH $shingleCte,
+         |$minhashPairCtes,
+         |thr AS (SELECT i / 10.0 AS thr FROM (
+         |          SELECT UNNEST(generate_series(5, 9)) AS i) g)
+         |SELECT thr.thr, COUNT(*) AS n_pairs,
+         |  COUNT(DISTINCT p.doc_a) AS n_docs_left,
+         |  COUNT(DISTINCT p.doc_b) AS n_docs_right
+         |FROM thr JOIN pairs p ON p.jaccard >= thr.thr
+         |GROUP BY thr.thr""".stripMargin,
     "llm_cross_source_overlap" ->
       s"""WITH $shingleCte,
          |$minhashPairCtes,
