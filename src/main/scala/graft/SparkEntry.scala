@@ -45,6 +45,7 @@ object SparkEntry {
       graft.queries.Analytics25.queries ++
       graft.queries.Analytics26.queries ++
       graft.queries.Analytics27.queries ++
+      graft.queries.Analytics28.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -87,6 +88,7 @@ object SparkEntry {
       graft.queries.Analytics25.oracle ++
       graft.queries.Analytics26.oracle ++
       graft.queries.Analytics27.oracle ++
+      graft.queries.Analytics28.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -37,7 +37,7 @@ object Analytics27 {
     * decimal sum divided once; the residual then subtracts two
     * lattice quantities. One window pass + one bounded-key join —
     * O(days), nothing row-scale after the first aggregation. */
-  private def stlSql(orders: String, datediffDays: String => String): String =
+  private def stlCtes(orders: String, datediffDays: String => String): String =
     s"""drev AS (SELECT o_orderdate AS d,
        |           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
        |         FROM $orders GROUP BY o_orderdate),
@@ -58,7 +58,10 @@ object Analytics27 {
        |seas AS (SELECT wd,
        |           CAST(ROUND(CAST(SUM(detr) AS DOUBLE) / COUNT(*), 6)
        |                AS DECIMAL(18,6)) AS seasonal
-       |         FROM dt GROUP BY wd)
+       |         FROM dt GROUP BY wd)""".stripMargin
+
+  private def stlSql(orders: String, datediffDays: String => String): String =
+    s"""${stlCtes(orders, datediffDays)}
        |SELECT dt.d, CAST(dt.rev AS DOUBLE) AS rev,
        |  ROUND(dt.trend, 6) AS trend,
        |  CAST(seas.seasonal AS DOUBLE) AS seasonal,
@@ -69,6 +72,36 @@ object Analytics27 {
     t(s, dir, "orders").createOrReplaceTempView("graft_stl_orders")
     s.sql("WITH " + stlSql("graft_stl_orders",
       d => s"datediff($d, DATE '1970-01-01')"))
+  }
+
+  // ---------------------------------------------------------------------
+  // win_stl_anomaly
+  // ---------------------------------------------------------------------
+
+  /** Residual-based anomaly detection on top of the decomposition:
+    * a day is anomalous when |resid| exceeds 3 × MAD of the residual
+    * series (the robust control limit — one extreme day cannot widen
+    * its own gate the way a σ-based limit would). MAD comes from the
+    * engines' interpolated median rounded at 4 dp; the flag compares
+    * two lattice-derived doubles identically on both sides. */
+  private def stlAnomalySql(orders: String,
+      datediffDays: String => String, pctl: String => String): String =
+    s"""${stlCtes(orders, datediffDays)},
+       |r AS (SELECT dt.d, CAST(dt.rev AS DOUBLE) AS rev,
+       |        CAST(dt.detr - seas.seasonal AS DOUBLE) AS resid
+       |      FROM dt JOIN seas ON seas.wd = dt.wd),
+       |madr AS (SELECT CAST(ROUND(${pctl("ABS(resid)")}, 4) AS DOUBLE)
+       |           AS mad FROM r)
+       |SELECT r.d, r.rev, ROUND(r.resid, 6) AS resid,
+       |  ROUND(r.resid / madr.mad, 4) AS score
+       |FROM r CROSS JOIN madr
+       |WHERE ABS(r.resid) > 3 * madr.mad""".stripMargin
+
+  def winStlAnomaly(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_stla_orders")
+    s.sql("WITH " + stlAnomalySql("graft_stla_orders",
+      d => s"datediff($d, DATE '1970-01-01')",
+      e => s"percentile($e, 0.5)"))
   }
 
   // ---------------------------------------------------------------------
@@ -107,10 +140,14 @@ object Analytics27 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_stl_decompose" -> (winStlDecompose _),
+    "win_stl_anomaly" -> (winStlAnomaly _),
     "llm_data_mixture_epochs" -> (llmDataMixtureEpochs _))
 
   val oracle: Map[String, String] = Map(
     "win_stl_decompose" -> ("WITH " + stlSql("orders",
       d => s"datediff('day', DATE '1970-01-01', $d)")),
+    "win_stl_anomaly" -> ("WITH " + stlAnomalySql("orders",
+      d => s"datediff('day', DATE '1970-01-01', $d)",
+      e => s"quantile_cont($e, 0.5)")),
     "llm_data_mixture_epochs" -> ("WITH " + mixtureSql("documents")))
 }
