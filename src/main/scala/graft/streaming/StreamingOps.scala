@@ -275,8 +275,11 @@ object StreamingOps {
     s.sql("""CREATE TABLE graft_mem.db.stream_upsert
             |  (event_type STRING NOT NULL, n BIGINT,
             |   total DECIMAL(18,4))""".stripMargin)
+    // Unique per INVOCATION, not per app: reusing a checkpoint across
+    // calls would see "no new files", drain zero batches, and leave
+    // the freshly-recreated table empty on a second run in one JVM.
     val base = sys.props("java.io.tmpdir") + "/graft_stream_upsert_" +
-      s.sparkContext.applicationId
+      java.util.UUID.randomUUID().toString
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.repartition(4).write.mode("overwrite").parquet(s"$base/in")
     val q = s.readStream.schema(raw.schema)
@@ -308,6 +311,13 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+    // merged state lives in the catalog; the per-invocation staging +
+    // checkpoint files are garbage once the stream finishes
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
     s.sql("""SELECT event_type, n, CAST(total AS DOUBLE) AS total
             |FROM graft_mem.db.stream_upsert""".stripMargin)
   }

@@ -11,10 +11,10 @@ class Analytics25Spec extends SparkTestBase {
 
   test("agg_huber_mean: robust center bracketed by the data, scale sane") {
     val rows = run("agg_huber_mean")
-    assert(rows.length == 3)
-    val bounds = graft.core.Tables.load(spark, sf, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+    assert(rows.nonEmpty)
+    val bounds = graft.core.Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap
     rows.foreach { r =>
