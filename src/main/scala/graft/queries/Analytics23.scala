@@ -53,6 +53,7 @@ object Analytics23 {
   def scanCsvMultiline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = sys.props("java.io.tmpdir") + "/graft_csv_multiline_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
       s.sparkContext.applicationId
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),

@@ -118,6 +118,17 @@ object Analytics25 {
     // driver-side footprint the AQE planner already has).
     val medMap = m0.collect()
       .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    // Empty corpus → no groups → no constants to inline; return the
+    // schema-correct empty frame instead of folding over an empty map.
+    if (medMap.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("med", DoubleType), StructField("mad", DoubleType),
+          StructField("huber_mean", DoubleType),
+          StructField("n", LongType, nullable = false))))
+    }
     val madMap = mad.collect()
       .map(r => r.getString(0) -> r.getDecimal(1)).toMap
     val cMap = madMap.map { case (f, m) =>
@@ -164,7 +175,8 @@ object Analytics25 {
     * data moves only through executor parquet writes. */
   def scanTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_txnlog_" + s.sparkContext.applicationId)
+      "graft_txnlog_" + java.lang.Integer.toHexString(dir.hashCode) +
+        "_" + s.sparkContext.applicationId)
     val logDir = new java.io.File(base, "_log")
     logDir.mkdirs()
     val orders = t(s, dir, "orders")
@@ -198,11 +210,21 @@ object Analytics25 {
       }
       active.toSeq
     }
-    def census(v: Int): DataFrame =
-      s.read.parquet(snapshot(v): _*)
-        .agg(count(lit(1)).as("n_rows"),
+    def census(v: Int): DataFrame = {
+      // a snapshot can be file-less (every slice empty on an empty
+      // corpus): read an empty frame of the table schema instead of
+      // handing Spark a zero-path parquet read
+      val files = snapshot(v)
+      val snap =
+        if (files.isEmpty)
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            orders.schema)
+        else s.read.parquet(files: _*)
+      snap.agg(count(lit(1)).as("n_rows"),
           sum("price").cast("double").as("total"))
         .select(lit(v.toLong).as("version"), col("n_rows"), col("total"))
+    }
     census(1).unionByName(census(2))
   }
 

@@ -42,6 +42,7 @@ object Analytics28 {
   def scanCsvPermissive(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = sys.props("java.io.tmpdir") + "/graft_csv_permissive_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
       s.sparkContext.applicationId
     t(s, dir, "orders")
       .select(col("o_orderkey").as("k"),

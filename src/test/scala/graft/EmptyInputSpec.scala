@@ -92,7 +92,21 @@ class EmptyInputSpec extends SparkTestBase {
     // and obs collapses through the GROUP BY on empty input)
     "win_heikin_ashi", "graph_hitting_prob", "agg_randomization_test",
     // WHERE p.n > 0 keeps the Chow census off the one-null-row path
-    "agg_chow_test")
+    "agg_chow_test",
+    // round 11 (the global-aggregate shapes — scan_csv_permissive,
+    // mm_pixel_dedup, agg_power_law, etl_dq_expectations,
+    // scan_time_travel — return their guard/zero rows rather than
+    // none, so they stay out per the one-null-row rule; agg_huber_mean
+    // short-circuits to a schema-correct empty frame when no groups
+    // exist and is exactly the path this suite pins)
+    "sql_merge_into", "sql_update", "sql_delete", "scan_csv_multiline",
+    "text_entropy", "agg_tukey", "llm_curriculum_order",
+    "llm_tokenizer_fertility", "graph_modularity", "agg_winsorized_mean",
+    "etl_late_arriving_dim", "llm_cross_source_overlap",
+    "llm_contrastive_pairs", "llm_dedup_threshold_sweep",
+    "stream_merge_upsert", "agg_huber_mean", "win_hmm_filter",
+    "graph_betweenness", "win_haar", "win_stl_decompose",
+    "win_stl_anomaly", "llm_data_mixture_epochs")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

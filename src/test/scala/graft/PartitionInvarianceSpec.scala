@@ -121,7 +121,25 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // per-round matvec sums doubles across partitions)
     "win_heikin_ashi", "agg_randomization_test",
     // exact-decimal OLS censuses → closed-form F
-    "agg_chow_test")
+    "agg_chow_test",
+    // round 11: row-level statement censuses over decimal sums, exact
+    // quartile/percentile shapes, integer/lattice curation censuses,
+    // the array_sort-pinned HMM fold, decimal wavelet/STL lattices,
+    // 9-dp-lattice betweenness contributions, per-invocation streaming
+    // merge (decimal accumulation is batch-split-invariant by
+    // construction), and the codec digest census. Excluded per the
+    // var_samp precedent: text_entropy / agg_power_law /
+    // llm_cross_source_overlap (double sums or means merge across
+    // partitions); llm_contrastive_pairs / llm_dedup_threshold_sweep
+    // (memoized pair table makes the second run vacuous).
+    "sql_merge_into", "sql_update", "sql_delete", "scan_csv_multiline",
+    "agg_tukey", "llm_curriculum_order", "llm_tokenizer_fertility",
+    "graph_modularity", "agg_winsorized_mean", "etl_late_arriving_dim",
+    "stream_merge_upsert", "mm_pixel_dedup", "agg_huber_mean",
+    "scan_time_travel", "win_hmm_filter", "graph_betweenness",
+    "win_haar", "win_stl_decompose", "win_stl_anomaly",
+    "llm_data_mixture_epochs", "scan_csv_permissive",
+    "etl_dq_expectations")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
