@@ -112,4 +112,46 @@ class PlanShapeSpec extends SparkTestBase {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 2, s"$bnlj nested-loop joins (expected ≤2 one-row):\n$p")
   }
+
+  test("etl_late_arriving_dim: both dim lookups broadcast, never shuffled") {
+    val p = physical("etl_late_arriving_dim")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dim lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a broadcast-sized dim lookup regressed to a shuffle join")
+  }
+
+  test("agg_tukey / agg_winsorized_mean: quartile constants broadcast back") {
+    Seq("agg_tukey", "agg_winsorized_mean").foreach { q =>
+      val p = physical(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the bounded quantile relation must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("llm_contrastive_pairs: only the bounded negative reservoir nests") {
+    // The anchors × 64-candidate product is an intentional bounded
+    // BroadcastNestedLoopJoin; a CartesianProduct (or a second NLJ)
+    // would mean the pair or anti-join side degraded to all-pairs.
+    val p = physical("llm_contrastive_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested loops (expected the 1 bounded reservoir):\n$p")
+  }
+
+  test("graph_betweenness: walk expansion is equi-joins on the checkpointed edges") {
+    val p = physical("graph_betweenness")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"path enumeration regressed to a non-equi join:\n$p")
+  }
+
+  test("scan_csv_multiline: the read side is a whole-file (non-split) scan") {
+    // multiLine=true must reach the FileScan options — a split read
+    // would corrupt quoted multi-line records.
+    val df = SparkEntry.queries("scan_csv_multiline")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FileScan csv"), s"expected a csv scan:\n$p")
+  }
 }
