@@ -46,6 +46,7 @@ object SparkEntry {
       graft.queries.Analytics26.queries ++
       graft.queries.Analytics27.queries ++
       graft.queries.Analytics28.queries ++
+      graft.queries.Analytics29.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -89,6 +90,7 @@ object SparkEntry {
       graft.queries.Analytics26.oracle ++
       graft.queries.Analytics27.oracle ++
       graft.queries.Analytics28.oracle ++
+      graft.queries.Analytics29.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
