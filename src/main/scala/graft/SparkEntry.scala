@@ -48,6 +48,7 @@ object SparkEntry {
       graft.queries.Analytics28.queries ++
       graft.queries.Analytics29.queries ++
       graft.queries.Analytics30.queries ++
+      graft.queries.Analytics31.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       graft.queries.Analytics28.oracle ++
       graft.queries.Analytics29.oracle ++
       graft.queries.Analytics30.oracle ++
+      graft.queries.Analytics31.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
