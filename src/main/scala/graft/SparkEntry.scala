@@ -50,6 +50,7 @@ object SparkEntry {
       graft.queries.Analytics30.queries ++
       graft.queries.Analytics31.queries ++
       graft.queries.Analytics32.queries ++
+      graft.queries.Analytics33.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -97,6 +98,7 @@ object SparkEntry {
       graft.queries.Analytics30.oracle ++
       graft.queries.Analytics31.oracle ++
       graft.queries.Analytics32.oracle ++
+      graft.queries.Analytics33.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
