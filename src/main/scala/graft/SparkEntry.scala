@@ -51,6 +51,7 @@ object SparkEntry {
       graft.queries.Analytics31.queries ++
       graft.queries.Analytics32.queries ++
       graft.queries.Analytics33.queries ++
+      graft.queries.Analytics34.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -99,6 +100,7 @@ object SparkEntry {
       graft.queries.Analytics31.oracle ++
       graft.queries.Analytics32.oracle ++
       graft.queries.Analytics33.oracle ++
+      graft.queries.Analytics34.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
