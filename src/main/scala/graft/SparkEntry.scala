@@ -52,6 +52,7 @@ object SparkEntry {
       graft.queries.Analytics32.queries ++
       graft.queries.Analytics33.queries ++
       graft.queries.Analytics34.queries ++
+      graft.queries.Analytics35.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -101,6 +102,7 @@ object SparkEntry {
       graft.queries.Analytics32.oracle ++
       graft.queries.Analytics33.oracle ++
       graft.queries.Analytics34.oracle ++
+      graft.queries.Analytics35.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

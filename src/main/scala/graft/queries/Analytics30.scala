@@ -120,8 +120,11 @@ object Analytics30 {
     * (df = |statuses|−1 = 2, so the survival function is the exact
     * closed form p = exp(−χ²/2) — no erf needed). The BH step is two
     * windows: ascending p-rank, then the reverse running minimum of
-    * p·m/rank. Missing (nation,status) cells enter as observed 0 via
-    * the bounded nations×statuses grid. */
+    * p·m/rank. Missing (nation,status) cells enter through the
+    * identity χ²ᵢ = nᵢ + Σ_present((o−e)²/e − e) (absent cells
+    * contribute exactly e, and Σ_s e = nᵢ) — no nations×statuses
+    * grid relation, so the plan is pure keyed equi-joins plus one
+    * single-row cross (the PlanAuditSpec no-cartesian rule). */
   private def bhFdrSql(orders: String, customer: String): String =
     s"""o AS (SELECT c.c_nationkey AS nat, o.o_orderstatus AS st
        |      FROM $orders o JOIN $customer c
@@ -133,16 +136,13 @@ object Analytics30 {
        |ns AS (SELECT st, CAST(count(*) AS BIGINT) AS n_s
        |       FROM o GROUP BY 1),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
-       |grid AS (SELECT nn.nat, nn.n_o, ns.st, ns.n_s
-       |         FROM nn CROSS JOIN ns),
-       |dev AS (SELECT g.nat, g.n_o,
-       |    coalesce(nos.n_os, 0)
-       |      - CAST(g.n_o AS DOUBLE) * g.n_s / tot.n AS d,
-       |    CAST(g.n_o AS DOUBLE) * g.n_s / tot.n AS e
-       |  FROM grid g CROSS JOIN tot
-       |    LEFT JOIN nos ON nos.nat = g.nat AND nos.st = g.st),
+       |dev AS (SELECT nos.nat, nn.n_o,
+       |    nos.n_os - CAST(nn.n_o AS DOUBLE) * ns.n_s / tot.n AS d,
+       |    CAST(nn.n_o AS DOUBLE) * ns.n_s / tot.n AS e
+       |  FROM nos JOIN nn ON nn.nat = nos.nat
+       |    JOIN ns ON ns.st = nos.st CROSS JOIN tot),
        |chi AS (SELECT nat, max(n_o) AS n_orders,
-       |    sum(d * d / e) AS chi2
+       |    max(n_o) + sum(d * d / e - e) AS chi2
        |  FROM dev GROUP BY nat),
        |p AS (SELECT nat, n_orders, chi2, exp(-chi2 / 2.0) AS p_value,
        |    CAST(row_number() OVER (ORDER BY exp(-chi2 / 2.0), nat)
