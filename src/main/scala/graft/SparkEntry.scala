@@ -53,6 +53,7 @@ object SparkEntry {
       graft.queries.Analytics33.queries ++
       graft.queries.Analytics34.queries ++
       graft.queries.Analytics35.queries ++
+      graft.queries.Analytics36.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -103,6 +104,7 @@ object SparkEntry {
       graft.queries.Analytics33.oracle ++
       graft.queries.Analytics34.oracle ++
       graft.queries.Analytics35.oracle ++
+      graft.queries.Analytics36.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

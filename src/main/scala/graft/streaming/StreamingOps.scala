@@ -142,6 +142,32 @@ object StreamingOps {
         col("error_id").isNotNull.as("matched"))
   }
 
+  /** Stream-stream FULL OUTER join — both sides' unmatched rows emit
+    * once the watermark passes them; the batch twin is a plain full
+    * outer join with the same interval condition. Completes the
+    * streaming join surface (inner / left outer / full outer are the
+    * three outer-ness modes Structured Streaming supports with
+    * event-time bounds). */
+  def streamFullOuterJoin(e: DataFrame): DataFrame = {
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+    clicks.join(errors,
+        col("user_id") === col("err_user")
+          && col("error_ts") >= col("click_ts")
+          && col("error_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("err_user")).as("uid"),
+        col("click_id"), col("error_id"),
+        (col("click_id").isNotNull && col("error_id").isNotNull)
+          .as("matched"))
+  }
+
   def streamStreamJoin(e: DataFrame): DataFrame = {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -360,6 +386,7 @@ object StreamingOps {
     "stream_late_drop" -> ((s, d) => lateDrop(ev(s, d))),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(ev(s, d))),
     "stream_left_outer_join" -> ((s, d) => streamLeftOuterJoin(ev(s, d))),
+    "stream_full_outer_join" -> ((s, d) => streamFullOuterJoin(ev(s, d))),
     "stream_static_join" -> ((s, d) =>
       streamStaticJoin(ev(s, d), Tables.load(s, d, "customer"))),
     "stream_anti_dedup" -> ((s, d) =>
@@ -447,6 +474,20 @@ object StreamingOps {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |  strftime(hwm, '%Y-%m-%d %H:%M:%S') AS hwm_str
         |FROM h WHERE ts < hwm - INTERVAL 10 MINUTE""".stripMargin,
+    "stream_full_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |x AS (SELECT user_id AS err_user, event_id AS error_id,
+        |        ts AS error_ts
+        |      FROM e WHERE event_type = 'error')
+        |SELECT coalesce(c.user_id, x.err_user) AS uid,
+        |  c.click_id, x.error_id,
+        |  c.click_id IS NOT NULL AND x.error_id IS NOT NULL AS matched
+        |FROM c FULL JOIN x ON c.user_id = x.err_user
+        | AND x.error_ts >= c.click_ts
+        | AND x.error_ts <= c.click_ts + INTERVAL 1 HOUR""".stripMargin,
     "stream_left_outer_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             CAST(ts AS TIMESTAMP) AS ts FROM events),
