@@ -54,6 +54,7 @@ object SparkEntry {
       graft.queries.Analytics34.queries ++
       graft.queries.Analytics35.queries ++
       graft.queries.Analytics36.queries ++
+      graft.queries.Analytics37.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -105,6 +106,7 @@ object SparkEntry {
       graft.queries.Analytics34.oracle ++
       graft.queries.Analytics35.oracle ++
       graft.queries.Analytics36.oracle ++
+      graft.queries.Analytics37.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
