@@ -55,6 +55,7 @@ object SparkEntry {
       graft.queries.Analytics35.queries ++
       graft.queries.Analytics36.queries ++
       graft.queries.Analytics37.queries ++
+      graft.queries.Analytics38.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -107,6 +108,7 @@ object SparkEntry {
       graft.queries.Analytics35.oracle ++
       graft.queries.Analytics36.oracle ++
       graft.queries.Analytics37.oracle ++
+      graft.queries.Analytics38.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

@@ -112,7 +112,13 @@ object Analytics32 {
 
   /** Bradley–Terry source-strength fit. Comparisons: cross-source
     * document pairs inside a 100-char length band (blocked equi-join —
-    * never all-pairs), longer document wins, ties dropped. Fit: three
+    * never all-pairs), thinned by the deterministic 1-in-19 pair
+    * sample (a.doc_id + b.doc_id) % 19 = 0 — band blocking alone
+    * left Σ n_b² pairs growing quadratically in corpus size (12.9 s
+    * at sf0.1, 80 s at sf1 in the scaling harness); the modulus is
+    * the knob a 100 TB run turns up, and ~10⁴ outcomes per source
+    * pair are far more than the 20-item fit needs. Longer document
+    * wins, ties dropped. Fit: three
     * unrolled MM iterations p_i ← W_i / Σ_j n_ij/(p_i+p_j),
     * renormalized to mean 1 each round. The pair census is exact
     * integers; each iteration's denominators sum ≤(k−1) O(1) doubles,
@@ -136,6 +142,7 @@ object Analytics32 {
        |         CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END AS wi
        |       FROM d a JOIN d b ON a.band = b.band
        |         AND a.source < b.source
+       |         AND (a.doc_id + b.doc_id) % 19 = 0
        |       WHERE a.n_chars <> b.n_chars),
        |m0 AS (SELECT si, sj, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(wi) AS BIGINT) AS w FROM pr GROUP BY 1, 2),

@@ -36,7 +36,19 @@ object Analytics36 {
   /** Walsh-average median: pairs i ≤ j of the daily whole-dollar
     * revenue census, avg = (yᵢ+yⱼ)/2 — an exact double (integer sums
     * < 2⁵³, halves exact) — then the explicit-middle median rule over
-    * the (avg, i, j) total order. */
+    * the (avg, i, j) total order.
+    *
+    * The median is found by HISTOGRAM REFINEMENT, not a global sort:
+    * a first aggregation buckets the ~n²/2 Walsh averages into
+    * 1000-dollar bins (a parallel map-side-combined group-by), the
+    * cumulative bin census locates which bin(s) hold the middle
+    * ranks, and only THAT sliver (≈1/1000 of the pairs) is sorted,
+    * with its global rank offset added back. Equal Walsh values land
+    * in the same bin, so per-bin (walsh, i, j) order + offset
+    * reproduces the global total order exactly. The naive
+    * single-partition row_number over 2.9M pairs cost 5.9 s at
+    * sf0.1 and cannot scale-out; this spelling keeps every heavy
+    * stage parallel. */
   private def hlSql(orders: String, dayIdx: String,
       intdiv: String): String =
     s"""daily AS (
@@ -47,15 +59,31 @@ object Analytics36 {
        |pairs AS (SELECT a.x AS i, b.x AS j,
        |    CAST(a.y + b.y AS DOUBLE) / 2.0 AS walsh
        |  FROM daily a JOIN daily b ON a.x <= b.x),
+       |hist AS (SELECT CAST(floor(walsh / 1000.0) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM pairs GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST((sum(c) + 1) $intdiv 2 AS BIGINT) AS t1,
+       |    CAST((sum(c) + 2) $intdiv 2 AS BIGINT) AS t2
+       |  FROM hist),
+       |cum AS (SELECT b, c,
+       |    sum(c) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |sel AS (SELECT cum.b, cum.cum - cum.c AS offset_
+       |  FROM cum CROSS JOIN tot
+       |  WHERE cum.cum >= tot.t1 AND cum.cum - cum.c < tot.t2),
+       |cand AS (SELECT p.walsh, s.offset_
+       |  FROM pairs p JOIN sel s
+       |    ON CAST(floor(p.walsh / 1000.0) AS BIGINT) = s.b),
        |r AS (SELECT walsh,
-       |    row_number() OVER (ORDER BY walsh, i, j) AS rn,
-       |    count(*) OVER () AS n
-       |  FROM pairs)
-       |SELECT CAST(max(n) AS BIGINT) AS n_pairs,
-       |  avg(walsh) AS hodges_lehmann
-       |FROM r
-       |WHERE rn IN (CAST((n + 1) $intdiv 2 AS BIGINT),
-       |             CAST((n + 2) $intdiv 2 AS BIGINT))""".stripMargin
+       |    row_number() OVER (PARTITION BY offset_
+       |      ORDER BY walsh) + offset_ AS rn
+       |  FROM cand)
+       |SELECT CAST(max(tot.n) AS BIGINT) AS n_pairs,
+       |  avg(r.walsh) AS hodges_lehmann
+       |FROM r CROSS JOIN tot
+       |WHERE r.rn IN (tot.t1, tot.t2)""".stripMargin
 
   def aggHodgesLehmann(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_hl_orders")
