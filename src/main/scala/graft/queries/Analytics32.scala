@@ -124,7 +124,29 @@ object Analytics32 {
     * integers; each iteration's denominators sum ≤(k−1) O(1) doubles,
     * so the emitted strengths sit far inside the 1e-6 gate. Shared
     * SQL text on both engines. */
-  private def btSql(documents: String, intdiv: String): String = {
+  /** The O(pairs) census CTE list + aggregate select: everything
+    * downstream is a ≤k² relation. */
+  private def btCensusCtes(documents: String, intdiv: String): String =
+    s"""d AS (SELECT doc_id, source, n_chars,
+       |        n_chars $intdiv 100 AS band FROM $documents),
+       |pr AS (SELECT a.source AS si, b.source AS sj,
+       |         CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END AS wi
+       |       FROM d a JOIN d b ON a.band = b.band
+       |         AND a.source < b.source
+       |         AND (a.doc_id + b.doc_id) % 19 = 0
+       |       WHERE a.n_chars <> b.n_chars)""".stripMargin
+
+  private val btCensusSelect: String =
+    """SELECT si, sj, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(wi) AS BIGINT) AS w FROM pr GROUP BY 1, 2""".stripMargin
+
+  /** The MM fit over a materialized m0 relation. (Split from the
+    * census so the Spark side can checkpoint m0 ONCE: the fit's CTE
+    * tree references `edges` from six places, and Spark's CTE
+    * inlining would otherwise re-run the whole pair join per
+    * reference — 9.7 s at sf0.1; census-then-fit runs the pairs
+    * once.) */
+  private def btFitSql(m0: String): String = {
     def iter(prev: String, r: String, p: String): String =
       s"""$r AS (SELECT e.i, max(w1.wins) AS wins,
          |    sum(e.n / (pi.p + pj.p)) AS denom
@@ -136,18 +158,8 @@ object Analytics32 {
          |$p AS (SELECT i, (wins / denom) * k.k
          |         / (SELECT sum(wins / denom) FROM $r) AS p
          |       FROM $r CROSS JOIN k)""".stripMargin
-    s"""d AS (SELECT doc_id, source, n_chars,
-       |        n_chars $intdiv 100 AS band FROM $documents),
-       |pr AS (SELECT a.source AS si, b.source AS sj,
-       |         CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END AS wi
-       |       FROM d a JOIN d b ON a.band = b.band
-       |         AND a.source < b.source
-       |         AND (a.doc_id + b.doc_id) % 19 = 0
-       |       WHERE a.n_chars <> b.n_chars),
-       |m0 AS (SELECT si, sj, CAST(count(*) AS BIGINT) AS n,
-       |         CAST(sum(wi) AS BIGINT) AS w FROM pr GROUP BY 1, 2),
-       |edges AS (SELECT si AS i, sj AS j, n, w FROM m0
-       |          UNION ALL SELECT sj, si, n, n - w FROM m0),
+    s"""edges AS (SELECT si AS i, sj AS j, n, w FROM $m0
+       |          UNION ALL SELECT sj, si, n, n - w FROM $m0),
        |wtot AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_comp,
        |           CAST(sum(w) AS BIGINT) AS wins
        |         FROM edges GROUP BY i),
@@ -162,7 +174,11 @@ object Analytics32 {
 
   def llmBradleyTerry(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").createOrReplaceTempView("graft_bt_docs")
-    s.sql("WITH " + btSql("graft_bt_docs", "DIV"))
+    s.sql("WITH " + btCensusCtes("graft_bt_docs", "DIV") + "\n"
+        + btCensusSelect)
+      .coalesce(1).localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_bt_m0")
+    s.sql("WITH " + btFitSql("graft_bt_m0"))
   }
 
   // ---------------------------------------------------------------------
@@ -196,6 +212,7 @@ object Analytics32 {
 
   val oracle: Map[String, String] = Map(
     "llm_mrl_recall" -> mrlOracleSql,
-    "llm_bradley_terry" -> ("WITH " + btSql("documents", "//")),
+    "llm_bradley_terry" -> ("WITH " + btCensusCtes("documents", "//")
+      + ",\nm0 AS (" + btCensusSelect + "),\n" + btFitSql("m0")),
     "sql_group_by_all" -> groupByAllSql.format("lineitem"))
 }

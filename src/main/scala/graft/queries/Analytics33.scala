@@ -182,10 +182,31 @@ object Analytics33 {
   // llm_wordpiece_apply
   // ---------------------------------------------------------------------
 
-  /** Greedy WordPiece over the corpus vocabulary. `tok` is the
-    * dialect-split tokenizer CTE body; `lat(rel, col, alias)` renders
-    * a correlated 1..length(col) position lateral. */
-  private def wordpieceSql(tok: String,
+  /** Word census (the only corpus-sized pass). */
+  private def wpWordsSelect(tokRel: String): String =
+    s"""SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |FROM $tokRel WHERE w <> '' GROUP BY w""".stripMargin
+
+  /** Subword vocab from a words relation: 2–4-char prefixes of the
+    * top-8 words + every single character (the greedy-progress
+    * floor). */
+  private def wpVocabCtes(words: String,
+      lat: (String, String, String) => String): String =
+    s"""top8 AS (SELECT w FROM $words ORDER BY freq DESC, w LIMIT 8),
+       |pref AS (SELECT DISTINCT substr(t.w, 1, g.p) AS v
+       |         FROM top8 t ${lat("t", "w", "g")}
+       |         WHERE g.p BETWEEN 2 AND 4),
+       |chars AS (SELECT DISTINCT substr(s.w, g.p, 1) AS v
+       |          FROM $words s ${lat("s", "w", "g")})""".stripMargin
+
+  private val wpVocabSelect: String =
+    "SELECT v FROM pref UNION SELECT v FROM chars"
+
+  /** The 3-step greedy fit over MATERIALIZED words/vocab relations.
+    * (Split so Spark checkpoints both once: the fit references vocab
+    * three times and words twice, and CTE inlining re-ran the corpus
+    * tokenization + vocab derivation per reference.) */
+  private def wpFitSql(words: String, vocab: String,
       lat: (String, String, String) => String): String = {
     // longest vocab prefix of `src.[c]`: explode candidate prefixes in
     // one CTE (Spark's grammar places LATERAL VIEW after all joins, so
@@ -196,21 +217,11 @@ object Analytics33 {
          |    substr(s.$c, 1, g.p) AS pf
          |  FROM $src s ${lat("s", c, "g")}),
          |$name AS (SELECT pp.k, max(pp.p) AS l FROM ${name}p pp
-         |  JOIN vocab vb ON pp.pf = vb.v GROUP BY pp.k)""".stripMargin
-    s"""tok AS ($tok),
-       |words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
-       |          FROM tok WHERE w <> '' GROUP BY w),
-       |top8 AS (SELECT w FROM words ORDER BY freq DESC, w LIMIT 8),
-       |pref AS (SELECT DISTINCT substr(t.w, 1, g.p) AS v
-       |         FROM top8 t ${lat("t", "w", "g")}
-       |         WHERE g.p BETWEEN 2 AND 4),
-       |chars AS (SELECT DISTINCT substr(s.w, g.p, 1) AS v
-       |          FROM words s ${lat("s", "w", "g")}),
-       |vocab AS (SELECT v FROM pref UNION SELECT v FROM chars),
-       |${longest("m1", "words", "w", "w")},
+         |  JOIN $vocab vb ON pp.pf = vb.v GROUP BY pp.k)""".stripMargin
+    s"""${longest("m1", words, "w", "w")},
        |r1 AS (SELECT w.w, w.freq, m1.l AS l1,
        |         substr(w.w, m1.l + 1) AS rest
-       |       FROM words w JOIN m1 ON m1.k = w.w),
+       |       FROM $words w JOIN m1 ON m1.k = w.w),
        |r1x AS (SELECT w, rest FROM r1 WHERE rest <> ''),
        |${longest("m2", "r1x", "w", "rest")},
        |r2 AS (SELECT r1.w, r1.freq, r1.l1, m2.l AS l2,
@@ -235,12 +246,22 @@ object Analytics33 {
        |FROM r2 LEFT JOIN m3 ON m3.k = r2.w""".stripMargin
   }
 
+  private val sparkLat: (String, String, String) => String =
+    (rel, c, a) => s"LATERAL VIEW explode(sequence(1, " +
+      s"CAST(length($rel.$c) AS INT))) $a AS p"
+
   def llmWordpieceApply(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").createOrReplaceTempView("graft_wp_docs")
-    s.sql("WITH " + wordpieceSql(
-      "SELECT explode(split(text, ' ')) AS w FROM graft_wp_docs",
-      (rel, c, a) => s"LATERAL VIEW explode(sequence(1, " +
-        s"CAST(length($rel.$c) AS INT))) $a AS p"))
+    s.sql("WITH tok AS (SELECT explode(split(text, ' ')) AS w "
+        + "FROM graft_wp_docs)\n" + wpWordsSelect("tok"))
+      .coalesce(1).localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_wp_words")
+    s.sql("WITH " + wpVocabCtes("graft_wp_words", sparkLat) + "\n"
+        + wpVocabSelect)
+      .coalesce(1).localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_wp_vocab")
+    s.sql("WITH " + wpFitSql("graft_wp_words", "graft_wp_vocab",
+      sparkLat))
   }
 
   // ---------------------------------------------------------------------
@@ -254,8 +275,15 @@ object Analytics33 {
     "graph_scc" -> sccOracleSql,
     "events_propensity_strata" -> ("WITH " + strataSql("events",
       ts => s"epoch_us(CAST($ts AS TIMESTAMP))", "//")),
-    "llm_wordpiece_apply" -> ("WITH " + wordpieceSql(
-      "SELECT unnest(string_split(text, ' ')) AS w FROM documents",
-      (rel, c, a) => s", LATERAL (SELECT CAST(unnest(" +
-        s"range(1, len($rel.$c) + 1)) AS INT) AS p) $a")))
+    "llm_wordpiece_apply" -> {
+      val duckLat: (String, String, String) => String =
+        (rel, c, a) => s", LATERAL (SELECT CAST(unnest(" +
+          s"range(1, len($rel.$c) + 1)) AS INT) AS p) $a"
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents),\n" +
+        "words AS (" + wpWordsSelect("tok") + "),\n" +
+        wpVocabCtes("words", duckLat) + ",\n" +
+        "vocab AS (" + wpVocabSelect + "),\n" +
+        wpFitSql("words", "vocab", duckLat)
+    })
 }

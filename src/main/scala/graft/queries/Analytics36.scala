@@ -125,44 +125,64 @@ object Analytics36 {
     * inside a document, weight = pair count), out-strength-normalized
     * damped power iteration ×4 from the uniform start. `tok` is the
     * dialect-split (doc_id, pos, w) tokenizer. */
-  private def textrankSql(tok: String): String = {
-    def iter(prev: String, next: String): String =
-      s"""$next AS (SELECT w.w AS word,
-         |    coalesce(0.15 + 0.85 * sum(e.wt / o.out_w * p.score), 0.15)
-         |      AS score
-         |  FROM words w
-         |    LEFT JOIN edges e ON e.dst = w.w
-         |    LEFT JOIN outw o ON o.src = e.src
-         |    LEFT JOIN $prev p ON p.word = e.src
-         |  GROUP BY w.w)""".stripMargin
+  /** The O(corpus) part: token co-occurrence census → symmetric
+    * weighted edges. Everything after is a ≤|vocab|² relation. */
+  private def textrankEdgeCtes(tok: String): String =
     s"""tok AS ($tok),
        |co AS (SELECT a.w AS src, b.w AS dst, CAST(count(*) AS BIGINT)
        |         AS wt
        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id
        |         AND b.pos - a.pos BETWEEN 1 AND 2
        |         AND a.w <> b.w
-       |       GROUP BY 1, 2),
-       |edges AS (SELECT src, dst, wt FROM co
-       |          UNION ALL SELECT dst, src, wt FROM co),
-       |words AS (SELECT DISTINCT w FROM tok),
-       |outw AS (SELECT src, CAST(sum(wt) AS DOUBLE) AS out_w
-       |         FROM edges GROUP BY src),
-       |p0 AS (SELECT w AS word, CAST(1.0 AS DOUBLE) AS score FROM words),
+       |       GROUP BY 1, 2)""".stripMargin
+
+  private val textrankEdgeSelect: String =
+    """SELECT src, dst, wt FROM co
+      |UNION ALL SELECT dst, src, wt FROM co""".stripMargin
+
+  /** The ≤|vocab|² fit over a materialized `edges` relation. (Split
+    * so Spark checkpoints the corpus-sized census once — the four
+    * iteration CTEs reference `edges` nine times, and CTE inlining
+    * re-ran the whole co-occurrence join per reference: 3.1 s →
+    * sub-second.) */
+  private def textrankFitSql(edges: String, words: String): String = {
+    def iter(prev: String, next: String): String =
+      s"""$next AS (SELECT w.w AS word,
+         |    coalesce(0.15 + 0.85 * sum(e.wt / o.out_w * p.score), 0.15)
+         |      AS score
+         |  FROM $words w
+         |    LEFT JOIN $edges e ON e.dst = w.w
+         |    LEFT JOIN outw o ON o.src = e.src
+         |    LEFT JOIN $prev p ON p.word = e.src
+         |  GROUP BY w.w)""".stripMargin
+    s"""outw AS (SELECT src, CAST(sum(wt) AS DOUBLE) AS out_w
+       |         FROM $edges GROUP BY src),
+       |p0 AS (SELECT w AS word, CAST(1.0 AS DOUBLE) AS score
+       |       FROM $words),
        |${iter("p0", "p1")},
        |${iter("p1", "p2")},
        |${iter("p2", "p3")},
        |${iter("p3", "p4")},
        |deg AS (SELECT src AS word, CAST(count(*) AS BIGINT) AS degree
-       |        FROM edges GROUP BY src)
+       |        FROM $edges GROUP BY src)
        |SELECT p4.word, coalesce(deg.degree, 0) AS degree, p4.score
        |FROM p4 LEFT JOIN deg ON deg.word = p4.word""".stripMargin
   }
 
   def textTextrank(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").createOrReplaceTempView("graft_tr_docs")
-    s.sql("WITH " + textrankSql(
+    s.sql("WITH " + textrankEdgeCtes(
       """SELECT doc_id, p.pos, p.w FROM graft_tr_docs
-        |LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w""".stripMargin))
+        |LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w""".stripMargin)
+      + "\n" + textrankEdgeSelect)
+      .coalesce(1).localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_tr_edges")
+    s.sql("""SELECT DISTINCT p.w FROM graft_tr_docs
+            |LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w"""
+        .stripMargin)
+      .coalesce(1).localCheckpoint(eager = true)
+      .createOrReplaceTempView("graft_tr_words")
+    s.sql("WITH " + textrankFitSql("graft_tr_edges", "graft_tr_words"))
   }
 
   // ---------------------------------------------------------------------
@@ -177,8 +197,11 @@ object Analytics36 {
       "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
       "//")),
     "agg_trimmed_mean" -> ("WITH " + trimSql("orders", "//")),
-    "text_textrank" -> ("WITH " + textrankSql(
+    "text_textrank" -> ("WITH " + textrankEdgeCtes(
       """SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1)
         |  AS BIGINT) - 1 AS pos,
-        |  unnest(string_split(text, ' ')) AS w FROM documents""".stripMargin)))
+        |  unnest(string_split(text, ' ')) AS w FROM documents""".stripMargin)
+      + ",\nedges AS (" + textrankEdgeSelect + "),\n"
+      + "words AS (SELECT DISTINCT w FROM tok),\n"
+      + textrankFitSql("edges", "words")))
 }
