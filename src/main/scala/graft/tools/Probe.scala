@@ -73,6 +73,22 @@ object Probe {
           fn(spark, dir).write.mode("overwrite").format("noop").save()
           println(f"[time] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
+      // Ad-hoc SQL over the fixture tables (each registered as a temp
+      // view by name), statement read from the file at <path>. Full
+      // 17-digit doubles so cross-engine ulp diffs are visible.
+      case "sql" :: dir :: path :: Nil =>
+        Tables.names.foreach(n =>
+          Tables.load(spark, dir, n).createOrReplaceTempView(n))
+        val stmt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        spark.sql(stmt).collect().foreach { r =>
+          println((0 until r.length).map { i =>
+            r.get(i) match {
+              case d: java.lang.Double => "%.17g".format(d)
+              case v => String.valueOf(v)
+            }
+          }.mkString(" | "))
+        }
       case other =>
         System.err.println(s"usage: schemas <dir> | explain <dir> <query>; got $other")
     }
