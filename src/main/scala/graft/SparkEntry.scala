@@ -57,6 +57,7 @@ object SparkEntry {
       graft.queries.Analytics37.queries ++
       graft.queries.Analytics38.queries ++
       graft.queries.Analytics39.queries ++
+      graft.queries.Analytics40.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -111,6 +112,7 @@ object SparkEntry {
       graft.queries.Analytics37.oracle ++
       graft.queries.Analytics38.oracle ++
       graft.queries.Analytics39.oracle ++
+      graft.queries.Analytics40.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
