@@ -59,6 +59,7 @@ object SparkEntry {
       graft.queries.Analytics39.queries ++
       graft.queries.Analytics40.queries ++
       graft.queries.Analytics41.queries ++
+      graft.queries.Analytics42.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -115,6 +116,7 @@ object SparkEntry {
       graft.queries.Analytics39.oracle ++
       graft.queries.Analytics40.oracle ++
       graft.queries.Analytics41.oracle ++
+      graft.queries.Analytics42.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
