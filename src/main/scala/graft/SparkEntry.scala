@@ -60,6 +60,7 @@ object SparkEntry {
       graft.queries.Analytics40.queries ++
       graft.queries.Analytics41.queries ++
       graft.queries.Analytics42.queries ++
+      graft.queries.Analytics43.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -117,6 +118,7 @@ object SparkEntry {
       graft.queries.Analytics40.oracle ++
       graft.queries.Analytics41.oracle ++
       graft.queries.Analytics42.oracle ++
+      graft.queries.Analytics43.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
