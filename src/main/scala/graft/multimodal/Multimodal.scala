@@ -703,7 +703,97 @@ object Multimodal {
           .as("n_dup_pixel_blobs"))
   }
 
+  case class DftCoef(media_id: Long, frame_no: Long, band: Long,
+      re: Long, im: Long)
+
+  /** Shared spectral-aggregation statement over a coefficient relation
+    * (media_id, frame_no, band, re, im): per-frame power re²+im² as an
+    * EXACT DECIMAL(38,0) integer (re ≤ 32·255·10⁶ so re² ≤ 6.8e19 —
+    * over int64, inside decimal), summed exactly per (media, band).
+    * Only the two derived outputs touch doubles: the band's share of
+    * the media's total power (ratio of two exact-integer casts — 1e-16
+    * cast noise) and ln(1+energy) — both safe under round(6). */
+  private def dftAggSql(coefs: String): String =
+    s"""e AS (SELECT media_id, CAST(band AS BIGINT) AS band,
+       |    CAST(count(*) AS BIGINT) AS n_frames,
+       |    sum(CAST(re AS DECIMAL(19,0)) * CAST(re AS DECIMAL(19,0))
+       |        + CAST(im AS DECIMAL(19,0)) * CAST(im AS DECIMAL(19,0)))
+       |      AS energy
+       |  FROM $coefs GROUP BY 1, 2),
+       |tt AS (SELECT media_id, sum(energy) AS tot FROM e GROUP BY 1)
+       |SELECT e.media_id, e.band, e.n_frames,
+       |  CASE WHEN CAST(tt.tot AS DOUBLE) > 0.0
+       |       THEN CAST(e.energy AS DOUBLE) / CAST(tt.tot AS DOUBLE)
+       |  END AS energy_share,
+       |  ln(1.0 + CAST(e.energy AS DOUBLE)) AS energy_ln
+       |FROM e JOIN tt ON tt.media_id = e.media_id""".stripMargin
+
+  /** 32-point DFT band energies (bins k ∈ {1,2,4,8}) over the
+    * audio-shaped 32-byte frames, at the mapPartitions codec boundary
+    * (blobs never shuffle; only small integer coefficients do). The
+    * DFT weights are INTEGER-QUANTIZED — floor(cos(2πkn/32)·10⁶+0.5),
+    * the identical spelling in the DuckDB twin — so re/im are exact
+    * integer dot products with zero IEEE surface; the quantization
+    * boundaries sit ≥0.03 away from every weight (the closest is
+    * cos(π/16)·10⁶ = …879.53), far beyond any libm cos/sin ulp. The
+    * per-(media,band) energy share profiles the spectral shape — the
+    * feature an audio-quality filter thresholds on. */
+  def mmDftEnergy(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[DftCoef]
+    val bands = Array(1, 2, 4, 8)
+    val coefs = mediaFromDocuments(s, dir).mapPartitions { rows =>
+      val wc = bands.map(k => (0 until 32).map(n => math.floor(
+        math.cos(2.0 * math.Pi * (k * n).toDouble / 32.0) * 1000000.0
+          + 0.5).toLong).toArray)
+      val ws = bands.map(k => (0 until 32).map(n => math.floor(
+        math.sin(2.0 * math.Pi * (k * n).toDouble / 32.0) * 1000000.0
+          + 0.5).toLong).toArray)
+      rows.flatMap { r =>
+        val nf = r.content.length / 32
+        (0 until nf).iterator.flatMap { f =>
+          bands.indices.map { bi =>
+            var re = 0L; var im = 0L; var n = 0
+            while (n < 32) {
+              val sv = (r.content(f * 32 + n) & 0xff).toLong
+              re += sv * wc(bi)(n)
+              im += sv * ws(bi)(n)
+              n += 1
+            }
+            DftCoef(r.media_id, f.toLong, bands(bi).toLong, re, im)
+          }
+        }
+      }
+    }
+    coefs.toDF().createOrReplaceTempView("graft_dft_coefs")
+    s.sql("WITH " + dftAggSql("graft_dft_coefs"))
+  }
+
+  private val dftOracleSql: String =
+    """WITH b AS (SELECT doc_id AS media_id,
+      |             list_transform(range(1, length(text) + 1),
+      |               i -> ord(text[i])) AS bs
+      |           FROM documents),
+      |fr AS (SELECT media_id, unnest(range(0, len(bs) // 32)) AS frame_no,
+      |         bs
+      |       FROM b),
+      |bd AS (SELECT media_id, frame_no, unnest([1, 2, 4, 8]) AS band, bs
+      |       FROM fr),
+      |cf AS (SELECT media_id, frame_no, band,
+      |         CAST(list_sum(list_transform(range(0, 32), n ->
+      |           bs[frame_no * 32 + n + 1]
+      |           * CAST(floor(cos(2.0 * pi() * CAST(band * n AS DOUBLE)
+      |                            / 32.0) * 1000000.0 + 0.5)
+      |                  AS BIGINT))) AS BIGINT) AS re,
+      |         CAST(list_sum(list_transform(range(0, 32), n ->
+      |           bs[frame_no * 32 + n + 1]
+      |           * CAST(floor(sin(2.0 * pi() * CAST(band * n AS DOUBLE)
+      |                            / 32.0) * 1000000.0 + 0.5)
+      |                  AS BIGINT))) AS BIGINT) AS im
+      |       FROM bd),
+      |""".stripMargin + dftAggSql("cf")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dft_energy" -> (mmDftEnergy _),
     "mm_pixel_dedup" -> (mmPixelDedup _),
     "mm_patchify" -> (mmPatchify _),
     "mm_scene_cuts" -> (mmSceneCuts _),
@@ -720,6 +810,7 @@ object Multimodal {
     "mm_phash_neardup" -> (mmPhashNeardup _))
 
   val oracle: Map[String, String] = Map(
+    "mm_dft_energy" -> dftOracleSql,
     "mm_pixel_dedup" ->
       """WITH imgs AS (SELECT doc_id AS media_id,
         |                substr(text, 1, 32 * least(len(text) // 32, 8)) AS pix
