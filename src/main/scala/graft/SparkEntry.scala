@@ -61,6 +61,7 @@ object SparkEntry {
       graft.queries.Analytics41.queries ++
       graft.queries.Analytics42.queries ++
       graft.queries.Analytics43.queries ++
+      graft.queries.Analytics44.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -119,6 +120,7 @@ object SparkEntry {
       graft.queries.Analytics41.oracle ++
       graft.queries.Analytics42.oracle ++
       graft.queries.Analytics43.oracle ++
+      graft.queries.Analytics44.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
