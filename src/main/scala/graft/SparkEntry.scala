@@ -62,6 +62,7 @@ object SparkEntry {
       graft.queries.Analytics42.queries ++
       graft.queries.Analytics43.queries ++
       graft.queries.Analytics44.queries ++
+      graft.queries.Analytics45.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -121,6 +122,7 @@ object SparkEntry {
       graft.queries.Analytics42.oracle ++
       graft.queries.Analytics43.oracle ++
       graft.queries.Analytics44.oracle ++
+      graft.queries.Analytics45.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
