@@ -63,6 +63,7 @@ object SparkEntry {
       graft.queries.Analytics43.queries ++
       graft.queries.Analytics44.queries ++
       graft.queries.Analytics45.queries ++
+      graft.queries.Analytics46.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -123,6 +124,7 @@ object SparkEntry {
       graft.queries.Analytics43.oracle ++
       graft.queries.Analytics44.oracle ++
       graft.queries.Analytics45.oracle ++
+      graft.queries.Analytics46.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
