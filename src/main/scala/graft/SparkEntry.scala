@@ -64,6 +64,7 @@ object SparkEntry {
       graft.queries.Analytics44.queries ++
       graft.queries.Analytics45.queries ++
       graft.queries.Analytics46.queries ++
+      graft.queries.Analytics47.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -125,6 +126,7 @@ object SparkEntry {
       graft.queries.Analytics44.oracle ++
       graft.queries.Analytics45.oracle ++
       graft.queries.Analytics46.oracle ++
+      graft.queries.Analytics47.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
