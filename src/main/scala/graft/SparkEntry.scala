@@ -67,6 +67,7 @@ object SparkEntry {
       graft.queries.Analytics47.queries ++
       graft.queries.Analytics48.queries ++
       graft.queries.Analytics49.queries ++
+      graft.queries.Analytics50.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -131,6 +132,7 @@ object SparkEntry {
       graft.queries.Analytics47.oracle ++
       graft.queries.Analytics48.oracle ++
       graft.queries.Analytics49.oracle ++
+      graft.queries.Analytics50.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++

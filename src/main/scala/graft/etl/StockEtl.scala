@@ -414,4 +414,19 @@ object StockEtl {
          |    ORDER BY date ROWS UNBOUNDED PRECEDING) AS price_ff,
          |  price IS NULL AS is_gap
          |FROM j""".stripMargin)
+
+  /** Register the lowercased cleaned golden-CSV table under `name` —
+    * the entry point derived queries (e.g. Black–Scholes in
+    * [[graft.queries.Analytics50]]) build on. */
+  def cleanedView(s: SparkSession, name: String): Unit =
+    lowercased(clean(readRawCsv(s, goldenCsv)))
+      .createOrReplaceTempView(name)
+
+  /** The consolidated one-bar-per-(stock, date) CTE text, shared with
+    * external queries. */
+  def barsCteFor(cleaned: String): String = barsCte(cleaned)
+
+  /** The DuckDB spelling of the T1–T6 cleaning over the golden CSV,
+    * for external oracles. */
+  def duckdbEtlSql: String = etlSql
 }
