@@ -68,6 +68,7 @@ object SparkEntry {
       graft.queries.Analytics48.queries ++
       graft.queries.Analytics49.queries ++
       graft.queries.Analytics50.queries ++
+      graft.queries.Analytics51.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -133,6 +134,7 @@ object SparkEntry {
       graft.queries.Analytics48.oracle ++
       graft.queries.Analytics49.oracle ++
       graft.queries.Analytics50.oracle ++
+      graft.queries.Analytics51.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
