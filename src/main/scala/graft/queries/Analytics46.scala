@@ -76,7 +76,16 @@ object Analytics46 {
   def statCrosstab(s: SparkSession, dir: String): DataFrame = {
     val ct = t(s, dir, "documents").stat.crosstab("lang", "source")
     val valueCols = ct.columns.filter(_ != "lang_source").sorted
-    ct.unpivot(
+    if (valueCols.isEmpty) {
+      // empty corpus: crosstab has ZERO value columns and unpivot
+      // rejects an empty value list — return the schema-correct
+      // empty frame instead (the EmptyInputSpec contract)
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_docs", LongType, nullable = false))))
+    } else ct.unpivot(
         Array(col("lang_source").as("lang")),
         valueCols.map(col).toArray,
         "source", "n_docs")

@@ -106,7 +106,21 @@ class EmptyInputSpec extends SparkTestBase {
     "llm_contrastive_pairs", "llm_dedup_threshold_sweep",
     "stream_merge_upsert", "agg_huber_mean", "win_hmm_filter",
     "graph_betweenness", "win_haar", "win_stl_decompose",
-    "win_stl_anomaly", "llm_data_mixture_epochs")
+    "win_stl_anomaly", "llm_data_mixture_epochs",
+    // round-11 session 3: grouped/per-row shapes only — per-user
+    // indicator windows and folds, grouped scoring/stat censuses,
+    // the typed mapGroups path, top-k cuts over empty corpora, and
+    // the DFT coefficient census. The single-row global aggregates
+    // (newey_west, kruskal, g_test, odds, fisher, granger, bass,
+    // logrank, jsd, periodogram, probit_qq, anderson_darling,
+    // weibull, reciprocity, srm, cuped, power, energy, conformal,
+    // markov_entropy, pairs_spread) stay out per the one-null-row
+    // rule; etl_stock_* read the golden CSV, not the fixture dir.
+    "win_aroon", "win_williams_r", "win_mfi", "win_trix",
+    "win_holt_winters", "agg_dunn_posthoc", "events_decay_score",
+    "typed_user_stats", "stat_crosstab", "mm_dft_energy",
+    "llm_embed_outlier", "agg_mahalanobis", "agg_cpk", "sql_pivot",
+    "sql_unpivot", "agg_isotonic")
 
   test("sampled queries return schema-correct empty results on empty tables") {
     sample.foreach { name =>

@@ -139,7 +139,30 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "scan_time_travel", "win_hmm_filter", "graph_betweenness",
     "win_haar", "win_stl_decompose", "win_stl_anomaly",
     "llm_data_mixture_epochs", "scan_csv_permissive",
-    "etl_dq_expectations")
+    "etl_dq_expectations",
+    // round-11 session 3 (batches S-AG): decimal-pinned moment/term
+    // sums (HAC, Granger, Bass, CUPED, logrank, JSD, periodogram,
+    // probit-QQ, Anderson-Darling, Weibull, Markov entropy), exact
+    // integer/census shapes (Aroon multiples-of-4, odds ratio, SRM,
+    // Cpk, stump, Youden, reciprocity, energy distance, crosstab,
+    // DFT coefficients, conformal ranks), array_sort-pinned folds
+    // (TRIX, Holt-Winters), exactly-associative min/max (isotonic),
+    // the object-mode typed path (order-free accumulators), and the
+    // cent-exact pairs spread. Excluded per the var_samp precedent:
+    // events_decay_score / agg_g_test / win_mfi (grouped raw-double
+    // sums merge across partitions or frames).
+    "agg_newey_west", "win_holt_winters", "win_aroon", "win_trix",
+    "agg_kruskal_wallis", "agg_odds_ratio", "agg_fisher_exact",
+    "sql_pivot", "sql_unpivot", "etl_dynamic_partition_overwrite",
+    "agg_isotonic", "agg_periodogram", "mm_dft_energy", "agg_granger",
+    "events_bass_diffusion", "agg_dunn_posthoc", "events_cuped",
+    "events_srm_check", "agg_cpk", "typed_user_stats", "stat_crosstab",
+    "agg_decision_stump", "text_jsd", "agg_logrank", "agg_probit_qq",
+    "events_weibull_fit", "graph_reciprocity", "agg_anderson_darling",
+    "llm_embed_outlier", "agg_mahalanobis", "agg_youden",
+    "events_markov_entropy", "agg_power_twoprop", "agg_energy_distance",
+    "agg_conformal_interval", "etl_stock_black_scholes",
+    "etl_stock_pairs_spread")
 
   private def canon(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf)
