@@ -185,7 +185,8 @@ object Analytics44 {
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
        |tie AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
        |          AS tsum FROM c)
-       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |SELECT /*+ BROADCAST(a) */
+       |  a.event_type AS type_a, b.event_type AS type_b,
        |  a.rsum / a.n_i - b.rsum / b.n_i AS mean_rank_diff,
        |  (a.rsum / a.n_i - b.rsum / b.n_i)
        |  / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12.0
