@@ -71,6 +71,7 @@ object SparkEntry {
       graft.queries.Analytics51.queries ++
       graft.queries.Analytics52.queries ++
       graft.queries.Analytics53.queries ++
+      graft.queries.Analytics54.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -139,6 +140,7 @@ object SparkEntry {
       graft.queries.Analytics51.oracle ++
       graft.queries.Analytics52.oracle ++
       graft.queries.Analytics53.oracle ++
+      graft.queries.Analytics54.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
