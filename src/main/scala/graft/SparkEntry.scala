@@ -73,6 +73,7 @@ object SparkEntry {
       graft.queries.Analytics53.queries ++
       graft.queries.Analytics54.queries ++
       graft.queries.Analytics55.queries ++
+      graft.queries.Analytics56.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -143,6 +144,7 @@ object SparkEntry {
       graft.queries.Analytics53.oracle ++
       graft.queries.Analytics54.oracle ++
       graft.queries.Analytics55.oracle ++
+      graft.queries.Analytics56.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
