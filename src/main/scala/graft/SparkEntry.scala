@@ -75,6 +75,7 @@ object SparkEntry {
       graft.queries.Analytics55.queries ++
       graft.queries.Analytics56.queries ++
       graft.queries.Analytics57.queries ++
+      graft.queries.Analytics58.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -147,6 +148,7 @@ object SparkEntry {
       graft.queries.Analytics55.oracle ++
       graft.queries.Analytics56.oracle ++
       graft.queries.Analytics57.oracle ++
+      graft.queries.Analytics58.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
