@@ -76,6 +76,7 @@ object SparkEntry {
       graft.queries.Analytics56.queries ++
       graft.queries.Analytics57.queries ++
       graft.queries.Analytics58.queries ++
+      graft.queries.Analytics59.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -149,6 +150,7 @@ object SparkEntry {
       graft.queries.Analytics56.oracle ++
       graft.queries.Analytics57.oracle ++
       graft.queries.Analytics58.oracle ++
+      graft.queries.Analytics59.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
