@@ -77,6 +77,7 @@ object SparkEntry {
       graft.queries.Analytics57.queries ++
       graft.queries.Analytics58.queries ++
       graft.queries.Analytics59.queries ++
+      graft.queries.Analytics60.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -151,6 +152,7 @@ object SparkEntry {
       graft.queries.Analytics57.oracle ++
       graft.queries.Analytics58.oracle ++
       graft.queries.Analytics59.oracle ++
+      graft.queries.Analytics60.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
