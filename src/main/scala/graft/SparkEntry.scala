@@ -78,6 +78,7 @@ object SparkEntry {
       graft.queries.Analytics58.queries ++
       graft.queries.Analytics59.queries ++
       graft.queries.Analytics60.queries ++
+      graft.queries.Analytics61.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -153,6 +154,7 @@ object SparkEntry {
       graft.queries.Analytics58.oracle ++
       graft.queries.Analytics59.oracle ++
       graft.queries.Analytics60.oracle ++
+      graft.queries.Analytics61.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
