@@ -79,6 +79,7 @@ object SparkEntry {
       graft.queries.Analytics59.queries ++
       graft.queries.Analytics60.queries ++
       graft.queries.Analytics61.queries ++
+      graft.queries.Analytics62.queries ++
       graft.queries.Scalars.queries ++
       graft.etl.StockEtl.queries ++
       graft.udf.Udfs.queries ++
@@ -155,6 +156,7 @@ object SparkEntry {
       graft.queries.Analytics59.oracle ++
       graft.queries.Analytics60.oracle ++
       graft.queries.Analytics61.oracle ++
+      graft.queries.Analytics62.oracle ++
       graft.queries.Scalars.oracle ++
       graft.etl.StockEtl.oracle ++
       graft.udf.Udfs.oracle ++
