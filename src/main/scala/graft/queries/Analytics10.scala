@@ -162,15 +162,16 @@ object Analytics10 {
     * document by its average negative log-probability under the corpus
     * unigram LM (the `llm_logprob` metric), then split EACH LANGUAGE
     * into head/middle/tail terciles of that score — the standard
-    * "keep head+middle for pre-training" gate. The tercile here is the
-    * exact spelling (ntile over a per-lang total order on
-    * (score, doc_id)); at 100 TB CCNet itself uses FIXED perplexity
-    * cutoffs learned once on a sample — two approx-quantile cuts per
-    * language broadcast to a comparison — precisely so no global
-    * per-lang sort is needed; the graded query keeps the exact form
-    * because the oracle must agree bit-for-bit. Score is rounded to 4
-    * decimals (the `llm_logprob` rule) so the double Σln across
-    * engines cannot flip a tercile boundary. */
+    * "keep head+middle for pre-training" gate. The tercile is exact
+    * per-lang NTILE semantics, but planned the way CCNet itself runs
+    * at scale — cutoffs/ranks learned from a quantile pass, applied as
+    * comparisons — via [[graft.operators.ScalableNtile]]: the per-lang
+    * window partitions by (lang, score-bucket), so the dominant
+    * language never sorts in one task, and the broadcast bucket
+    * offsets + integer NTILE formula reproduce the oracle's native
+    * NTILE bit-for-bit. Score is rounded to 4 decimals (the
+    * `llm_logprob` rule) so the double Σln across engines cannot flip
+    * a tercile boundary. */
   def llmCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "lang", "text")
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -179,9 +180,9 @@ object Analytics10 {
     val score = tok.join(uni, "t").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(expr("ROUND(-SUM(LN(n / nt)) / COUNT(*), 4)").as("score"))
-    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
-    d.select("doc_id", "lang").join(score, "doc_id")
-      .withColumn("b", ntile(3).over(w))
+    graft.operators.ScalableNtile.withNtile(
+        d.select("doc_id", "lang").join(score, "doc_id"),
+        3, Seq("lang"), col("score"), Seq(col("doc_id")), "b")
       .select(col("doc_id"), col("lang"), col("score"),
         when(col("b") === 1, "head").when(col("b") === 2, "middle")
           .otherwise("tail").as("bucket"))

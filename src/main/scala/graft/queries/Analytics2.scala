@@ -205,10 +205,13 @@ object Analytics2 {
   /** RFM (recency / frequency / monetary) customer segmentation:
     * per-user purchase stats, then NTILE(5) quintiles per dimension
     * with user_id tiebreaks so the bucketing is a total order. The
-    * three global NTILEs are single-partition windows over the
-    * ALREADY-AGGREGATED per-user table (rows = users, not events) —
-    * acceptable at any scale because the window input is the
-    * aggregate, never the fact table. */
+    * per-user table is already an aggregate, but "rows = users" is
+    * still O(data) at 100×, so each quintile rides
+    * [[graft.operators.ScalableNtile]] — exact distributed rank
+    * (quantile-bucketed, per-bucket window + broadcast offsets) fed to
+    * the integer NTILE formula — instead of a single-task global
+    * window. DESC orders negate the key (longs/doubles, no overflow
+    * case here); the oracle keeps native NTILE, bit-identical. */
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -217,14 +220,13 @@ object Analytics2 {
         count(lit(1)).as("freq"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("monetary"))
-    p.select(col("user_id"),
-      ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id")))
-        .cast("long").as("r_quintile"),
-      ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
-        .cast("long").as("f_quintile"),
-      ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
-        .cast("long").as("m_quintile"),
-      col("freq"), col("monetary"))
+    val q = (df: DataFrame, key: String, out: String) =>
+      graft.operators.ScalableNtile.withNtile(
+        df, 5, Nil, -col(key), Seq(col("user_id")), out)
+    q(q(q(p, "last_us", "r_quintile"), "freq", "f_quintile"),
+        "monetary", "m_quintile")
+      .select("user_id", "r_quintile", "f_quintile", "m_quintile",
+        "freq", "monetary")
   }
 
   /** Shannon entropy of each user's event-type distribution — the

@@ -129,16 +129,16 @@ object Analytics23 {
     * largest value. Selection is an exact integer-ranked top-k
     * (ties broken by o_orderkey); ln appears only in the final sum
     * (the `llm_ccnet_buckets` Σln parity precedent) and α is rounded
-    * at 6 dp in both engines. The top-k is a rank window — at 100 TB
-    * one replaces it with the `sort_topn` heap path; the estimator
-    * itself is one bounded sum. */
+    * at 6 dp in both engines. The top-k is `orderBy().limit(k)` —
+    * Spark plans TakeOrderedAndProject (per-partition k-heaps merged
+    * on the driver), so no task ever sorts the whole table; the
+    * estimator itself is one bounded sum. */
   def aggPowerLaw(s: SparkSession, dir: String): DataFrame = {
     val k = 1000
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val top = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
     top.agg(min(col("o_totalprice")).as("x_min"),
         count(lit(1)).cast("long").as("k"))
       .crossJoin(top.select(col("o_totalprice").as("x")))
@@ -156,10 +156,11 @@ object Analytics23 {
     * 0.2·min(tokens/500, 1), phases = quartiles of the global
     * (difficulty, doc_id) order, reported as a per-phase census.
     * "Rare" = corpus document frequency ≤ 2 — the corpus-wide df
-    * table builds once (same shape as the tf-idf df); the ntile is
-    * the exact graded spelling (at 100 TB: fixed thresholds from an
-    * approx-quantile pass, the `llm_ccnet_buckets` note). Difficulty
-    * is rounded at 6 dp BEFORE the ntile so an engine ulp cannot flip
+    * table builds once (same shape as the tf-idf df); the quartile
+    * split rides [[graft.operators.ScalableNtile]] (exact distributed
+    * rank → integer NTILE formula), so no task ever sorts the whole
+    * corpus — the oracle keeps native NTILE, bit-identical. Difficulty
+    * is rounded at 6 dp BEFORE the split so an engine ulp cannot flip
     * a phase boundary. */
   def llmCurriculumOrder(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
@@ -175,8 +176,8 @@ object Analytics23 {
         col("n_rare") / col("n_tokens") * 0.5 +
           col("sum_len") / col("n_tokens") / 10.0 * 0.3 +
           least(col("n_tokens") / 500.0, lit(1.0)) * 0.2, 6))
-    val w = Window.orderBy(col("difficulty"), col("doc_id"))
-    perDoc.withColumn("phase", ntile(4).over(w).cast("long"))
+    graft.operators.ScalableNtile.withNtile(
+        perDoc, 4, Nil, col("difficulty"), Seq(col("doc_id")), "phase")
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("total_tokens"),

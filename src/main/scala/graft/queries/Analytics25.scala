@@ -109,53 +109,40 @@ object Analytics25 {
       .groupBy("f")
       .agg(round(expr("percentile(adev, 0.5)"), 4)
         .cast(DecimalType(18, 4)).as("mad"))
-    // The per-flag constants are a 3-row relation: collect them and
-    // inline as literal CASE columns, so each IRLS round is ONE
-    // scan-aggregate of the checkpointed relation with zero joins or
-    // broadcast builds (the bounded-constant twin of the broadcast
-    // form — at 100 TB these constants would ride a broadcast, but
-    // collecting |groups| rows to plan the next pass is the same
-    // driver-side footprint the AQE planner already has).
-    val medMap = m0.collect()
-      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
-    // Empty corpus → no groups → no constants to inline; return the
-    // schema-correct empty frame instead of folding over an empty map.
-    if (medMap.isEmpty) {
-      import org.apache.spark.sql.types._
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("event_type", StringType),
-          StructField("med", DoubleType), StructField("mad", DoubleType),
-          StructField("huber_mean", DoubleType),
-          StructField("n", LongType, nullable = false))))
-    }
-    val madMap = mad.collect()
-      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
-    val cMap = madMap.map { case (f, m) =>
-      f -> m.multiply(new java.math.BigDecimal(2)) }
-    def asCol(m: Map[String, java.math.BigDecimal]) =
-      m.tail.foldLeft(when(col("f") === m.head._1, lit(m.head._2))) {
-        case (acc, (k, v)) => acc.when(col("f") === k, lit(v))
-      }.cast(DecimalType(18, 4))
-    var muMap = medMap
+    // The per-flag constants are a |groups|-row relation that each
+    // IRLS round joins back BROADCAST — the shape that stays correct
+    // if the group column ever becomes high-cardinality (a driver
+    // collect would silently OOM there). Each tiny frame is eagerly
+    // localCheckpoint-ed so iteration k+1's lineage starts from ≤
+    // |groups| materialized rows instead of re-executing the whole
+    // k-deep scan-aggregate chain per reference (the
+    // `llm_bradley_terry` exponential-CTE lesson).
+    val sc = m0.join(mad, "f")
+      .select(col("f"), col("mu").as("med"), col("mad"),
+        (lit(2) * col("mad")).cast(DecimalType(18, 4)).as("c"))
+      .localCheckpoint(true)
+    var mu = sc.select(col("f"), col("med").as("mu"))
     for (_ <- 1 to 3) {
-      val w = when(asCol(cMap) === 0 ||
-          abs(col("x") - asCol(muMap)) <= asCol(cMap),
+      val w = when(col("c") === 0 ||
+          abs(col("x") - col("mu")) <= col("c"),
           lit(1.0).cast(DecimalType(8, 6)))
-        .otherwise(round(asCol(cMap).cast("double") /
-          abs(col("x") - asCol(muMap)).cast("double"), 6)
+        .otherwise(round(col("c").cast("double") /
+          abs(col("x") - col("mu")).cast("double"), 6)
           .cast(DecimalType(8, 6)))
-      muMap = x.withColumn("w", w)
+      mu = x.join(broadcast(sc.select("f", "c")), "f")
+        .join(broadcast(mu), "f")
+        .withColumn("w", w)
         .groupBy("f")
         .agg(round(sum(col("x") * col("w")).cast("double") /
           sum("w").cast("double"), 4).cast(DecimalType(18, 4)).as("mu"))
-        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+        .localCheckpoint(true)
     }
-    x.groupBy("f").agg(count(lit(1)).as("n"))
+    val n = x.groupBy("f").agg(count(lit(1)).as("n"))
+    sc.join(mu, "f").join(n, "f")
       .select(col("f").as("event_type"),
-        asCol(medMap).cast("double").as("med"),
-        asCol(madMap).cast("double").as("mad"),
-        asCol(muMap).cast("double").as("huber_mean"), col("n"))
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"),
+        col("mu").cast("double").as("huber_mean"), col("n"))
   }
 
   // ---------------------------------------------------------------------

@@ -172,10 +172,46 @@ object Analytics33 {
        |FROM cell tc JOIN cell cc
        |  ON tc.stratum = cc.stratum AND tc.treat = 1 AND cc.treat = 0""".stripMargin
 
+  /** Spark side: the propensity quartile over ALL users is O(data),
+    * so it rides [[graft.operators.ScalableNtile.withNtile]] (parallel
+    * bucket decomposition, identical integers to the oracle's native
+    * NTILE); every other CTE translates 1:1 with the same decimal
+    * pins. */
   def eventsPropensityStrata(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("graft_ps_events")
-    s.sql("WITH " + strataSql("graft_ps_events",
-      ts => s"unix_micros($ts)", "DIV"))
+    import org.apache.spark.sql.types.DecimalType
+    val e = t(s, dir, "events").select(col("user_id"),
+      (col("user_id") % 2).as("treat"), unix_micros(col("ts")).as("us"),
+      col("value").cast(DecimalType(18, 4)).as("v"))
+    val mid = e.agg(expr("(MIN(us) + MAX(us)) DIV 2").as("m"))
+    val users = e.select("user_id", "treat").distinct()
+    val pre = e.crossJoin(broadcast(mid)).filter(col("us") < col("m"))
+      .groupBy("user_id").agg(count(lit(1)).cast("long").as("pre_n"))
+    val cov = users.join(pre, Seq("user_id"), "left")
+      .select(col("user_id"), col("treat"),
+        coalesce(col("pre_n"), lit(0L)).as("pre_n"))
+    val strat = graft.operators.ScalableNtile.withNtile(
+      cov, 4, Nil, col("pre_n"), Seq(col("user_id")), "stratum")
+    val post = e.crossJoin(broadcast(mid)).filter(col("us") >= col("m"))
+      .groupBy("user_id").agg(sum("v").as("sv"),
+        count(lit(1)).cast("long").as("n"))
+    // cell is ≤8 rows but referenced twice (treat/control sides) —
+    // checkpoint so the ntile chain does not re-execute per side.
+    val cell = strat.join(post, Seq("user_id"), "left")
+      .groupBy("stratum", "treat")
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        (sum(coalesce(col("sv"), lit(0))).cast("double") /
+          sum(coalesce(col("n"), lit(0L)))).as("mean_post"))
+      .localCheckpoint(true)
+    val tc = cell.filter(col("treat") === 1)
+      .select(col("stratum"), col("n_users").as("n_treat"),
+        col("mean_post").as("mean_treat"))
+    val cc = cell.filter(col("treat") === 0)
+      .select(col("stratum"), col("n_users").as("n_ctrl"),
+        col("mean_post").as("mean_ctrl"))
+    tc.join(cc, "stratum")
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        col("mean_treat"), col("mean_ctrl"),
+        (col("mean_treat") - col("mean_ctrl")).as("effect"))
   }
 
   // ---------------------------------------------------------------------

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
@@ -177,9 +178,32 @@ object Analytics35 {
        |  CAST(cum_sv AS DOUBLE) / CAST(tot_sv AS DOUBLE) AS cum_share
        |FROM c""".stripMargin
 
+  /** Spark side: the decile assignment over ALL orders is O(data), so
+    * it rides [[graft.operators.ScalableNtile.withNtile]] (parallel
+    * bucket decomposition, identical integers to the oracle's native
+    * NTILE); the two remaining unpartitioned windows run over the
+    * 10-row decile relation — bounded by k, not by data. */
   def aggLorenzCurve(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("graft_lz_orders")
-    s.sql("WITH " + lorenzSql("graft_lz_orders"))
+    import org.apache.spark.sql.types.DecimalType
+    val r = graft.operators.ScalableNtile.withNtile(
+      t(s, dir, "orders")
+        .select(col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+          col("o_totalprice"), col("o_orderkey")),
+      10, Nil, col("o_totalprice"), Seq(col("o_orderkey")), "decile")
+    r.groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n"), sum("v").as("sv"))
+      .createOrReplaceTempView("graft_lz_d")
+    s.sql(
+      """WITH c AS (SELECT decile, n, sv,
+        |        sum(sv) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_sv,
+        |        sum(sv) OVER () AS tot_sv
+        |      FROM graft_lz_d)
+        |SELECT decile, n,
+        |  CAST(sv AS DOUBLE) / CAST(tot_sv AS DOUBLE) AS share,
+        |  CAST(cum_sv AS DOUBLE) / CAST(tot_sv AS DOUBLE) AS cum_share
+        |FROM c""".stripMargin)
   }
 
   // ---------------------------------------------------------------------

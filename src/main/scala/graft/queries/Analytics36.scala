@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
@@ -112,9 +113,27 @@ object Analytics36 {
        |FROM k CROSS JOIN (SELECT sum(v) AS s FROM r) tot
        |WHERE rn > cut AND rn <= n - cut""".stripMargin
 
+  /** Spark side rides [[graft.operators.ScalableNtile
+    * .withRowNumberAndCount]] — rank-by-price over ALL orders is
+    * O(data), so the global row_number/count pair comes from the
+    * parallel bucket decomposition instead of the oracle's
+    * single-task `OVER ()` windows; the integer ranks (and therefore
+    * the trim cut) are identical. */
   def aggTrimmedMean(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("graft_tm_orders")
-    s.sql("WITH " + trimSql("graft_tm_orders", "DIV"))
+    import org.apache.spark.sql.types.DecimalType
+    val r = graft.operators.ScalableNtile.withRowNumberAndCount(
+      t(s, dir, "orders")
+        .select(col("o_totalprice").cast(DecimalType(18, 2)).as("v"),
+          col("o_totalprice"), col("o_orderkey")),
+      Nil, col("o_totalprice"), Seq(col("o_orderkey")), "rn", "n")
+    val tot = r.agg(sum("v").as("s"))
+    r.filter(col("rn") > expr("n DIV 20") &&
+        col("rn") <= col("n") - expr("n DIV 20"))
+      .crossJoin(broadcast(tot))
+      .agg(max("n").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_kept"),
+        (sum("v").cast("double") / count(lit(1))).as("trimmed_mean"),
+        (max("s").cast("double") / max("n")).as("raw_mean"))
   }
 
   // ---------------------------------------------------------------------

@@ -51,9 +51,26 @@ object Analytics38 {
        |    / (2.0 * n1 * (n - n1)) AS auc
        |FROM c""".stripMargin
 
+  /** Spark side: the score rank over ALL events is O(data), so it
+    * rides [[graft.operators.ScalableNtile.withRowNumber]] (parallel
+    * bucket decomposition — identical integer ranks to the oracle's
+    * single-task window); the Mann–Whitney identity then consumes one
+    * exact integer rank sum. */
   def aggAucRoc(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("graft_auc_events")
-    s.sql("WITH " + aucSql("graft_auc_events"))
+    val e = t(s, dir, "events").select(
+      col("value").cast("double").as("score"),
+      when(col("event_type") === "error", 1).otherwise(0).as("y"),
+      col("event_id"))
+    graft.operators.ScalableNtile.withRowNumber(
+        e, Nil, col("score"), Seq(col("event_id")), "rk")
+      .agg(sum("y").cast("long").as("n1"),
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("y") === 1, col("rk")).otherwise(0L)).cast("long")
+          .as("rsum"))
+      .select(col("n1"), (col("n") - col("n1")).as("n0"),
+        ((lit(2) * col("rsum") - col("n1") * (col("n1") + 1))
+          .cast("double") /
+          (lit(2.0) * col("n1") * (col("n") - col("n1")))).as("auc"))
   }
 
   // ---------------------------------------------------------------------
@@ -90,9 +107,32 @@ object Analytics38 {
        |  abs(confidence - observed) AS calib_gap, brier_term
        |FROM b""".stripMargin
 
+  /** Spark side: the PIT rank (and the n it divides by) comes from
+    * [[graft.operators.ScalableNtile.withRowNumberAndCount]] instead
+    * of the oracle's single-task `OVER ()` pair; prob/bin/Brier
+    * expressions are spelled identically. */
   def aggBrierCalibration(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("graft_br_events")
-    s.sql("WITH " + brierSql("graft_br_events"))
+    val e = t(s, dir, "events").select(
+      col("value").cast("double").as("v"),
+      when(col("event_type") === "error", 1).otherwise(0).as("y"),
+      col("event_id"))
+    val p = graft.operators.ScalableNtile.withRowNumberAndCount(
+        e, Nil, col("v"), Seq(col("event_id")), "rk", "n")
+      .select(col("y"),
+        (col("rk").cast("double") / (col("n") + 1)).as("prob"))
+      .withColumn("bin", least(lit(9),
+        floor(col("prob") * 10.0).cast("int")))
+    p.groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_bin"),
+        sum("y").cast("long").as("n_pos"),
+        (sum("prob") / count(lit(1))).as("confidence"),
+        (sum("y").cast("double") / count(lit(1))).as("observed"),
+        (sum((col("prob") - col("y")) * (col("prob") - col("y")))
+          / count(lit(1))).as("brier_term"))
+      .select(col("bin"), col("n_bin"), col("n_pos"), col("confidence"),
+        col("observed"),
+        abs(col("confidence") - col("observed")).as("calib_gap"),
+        col("brier_term"))
   }
 
   // ---------------------------------------------------------------------

@@ -134,18 +134,26 @@ object Analytics4 {
     * whitespace tokens — the monotone-association check that is robust
     * to the heavy-tailed length distribution Pearson chokes on.
     * Average ranks (ties share the mean rank) via rank() + the tie
-    * count, then Pearson corr on the ranks. */
+    * count, then Pearson corr on the ranks. Spark side: ranking ALL
+    * documents is O(data), so both ranks ride
+    * [[graft.operators.ScalableNtile.withRank]] (parallel bucket
+    * decomposition, identical integers to the oracle's global rank());
+    * tie counts come from broadcast value histograms instead of
+    * PARTITION BY value windows. */
   def aggSpearman(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents").createOrReplaceTempView("graft_sp_docs")
-    s.sql(
-      """WITH d AS (SELECT n_chars AS x, size(split(text, ' ')) AS y
-        |           FROM graft_sp_docs),
-        |r AS (SELECT
-        |  rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
-        |  rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
-        |FROM d)
-        |SELECT corr(rx, ry) AS rho, CAST(count(*) AS BIGINT) AS n
-        |FROM r""".stripMargin)
+    val d = t(s, dir, "documents")
+      .select(col("n_chars").as("x"),
+        size(split(col("text"), " ")).as("y"))
+    val cx = d.groupBy("x").agg(count(lit(1)).as("cx"))
+    val cy = d.groupBy("y").agg(count(lit(1)).as("cy"))
+    val ranked = graft.operators.ScalableNtile.withRank(
+      graft.operators.ScalableNtile.withRank(d, Nil, col("x"), "rkx"),
+      Nil, col("y"), "rky")
+    ranked.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .select((col("rkx") + (col("cx") - 1) / 2.0).as("rx"),
+        (col("rky") + (col("cy") - 1) / 2.0).as("ry"))
+      .agg(corr(col("rx"), col("ry")).as("rho"),
+        count(lit(1)).cast("long").as("n"))
   }
 
   /** Autocorrelation of the daily total event value at lags 1–7 — the

@@ -226,16 +226,30 @@ object Relational {
   }
 
   /** Non-equi range join: same-user event pairs within a 10-minute
-    * window. Equi on user_id keeps the join hash-partitionable (the range
-    * predicate is a post-join filter), so the plan survives scale-up —
-    * never a cartesian product. */
+    * window. The equi key is COMPOUNDED with a 10-minute time bucket
+    * (the [[graft.operators.IntervalJoin]] device): each left row
+    * probes (user, bucket) and (user, bucket+1) — the only buckets a
+    * partner ≤ 10 min later can live in — and the exact range
+    * predicate refines the candidates. A bare equi-join on user_id is
+    * hash-partitionable but per-key quadratic: a power user with k
+    * events builds k² candidate pairs inside ONE task before the
+    * filter; bucketing bounds the fan-out by events-per-10-minutes,
+    * so a hot key is many small bucket pairs spread across tasks, not
+    * one straggler. Each qualifying pair still matches exactly once
+    * (the partner's bucket is unique and the two probed buckets are
+    * distinct). */
   def joinRange(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val a = e.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
       col("event_type").as("type_a"))
+      .withColumn("a_bkt", explode(array(
+        floor(col("a_ts").cast("long") / 600L),
+        floor(col("a_ts").cast("long") / 600L) + 1L)))
     val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
       col("event_type").as("type_b"))
+      .withColumn("b_bkt", floor(col("b_ts").cast("long") / 600L))
     a.join(b, col("a_user") === col("b_user")
+        && col("a_bkt") === col("b_bkt")
         && col("b_ts") > col("a_ts")
         && col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
       .groupBy("type_a", "type_b")

@@ -41,6 +41,20 @@ class PlanShapeSpec extends SparkTestBase {
       "keyless interval join regressed to a nested loop")
   }
 
+  test("join_range: pair fan-out is bucket-bounded (compound equi key)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("join_range")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "join_range lost its join?")
+    val cond = joins.head.condition.map(_.toString).getOrElse("")
+    assert(cond.contains("a_bkt") && cond.contains("b_bkt"),
+      s"range join lost its 10-minute-bucket equi key (per-key " +
+        s"quadratic fan-out under skew):\n$cond")
+    val p = physical("join_range")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("mm_phash_neardup: banded LSH join, never all-pairs") {
     val p = physical("mm_phash_neardup")
     assert(!p.contains("CartesianProduct")
@@ -145,6 +159,73 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"),
       s"path enumeration regressed to a non-equi join:\n$p")
+  }
+
+  // -------------------------------------------------------------------
+  // Global-window census: an unpartitioned Window forces its WHOLE
+  // input through one task, so every graded plan may carry one ONLY
+  // over a relation whose cardinality is bounded by something other
+  // than the data volume. The allowlist below is exhaustive and each
+  // entry names its bound; queries ranking O(data) relations
+  // (events_rfm, llm_ccnet_buckets, agg_auc_roc, ...) instead ride
+  // graft.operators.ScalableNtile's parallel bucket decomposition and
+  // must stay at ZERO. Counts are pinned so a new global window
+  // sneaking into an allowlisted query also fails.
+  // -------------------------------------------------------------------
+  private val boundedGlobalWindows: Map[String, Int] = Map(
+    // --- bounded by the CALENDAR (daily-series statistics: the window
+    //     input is one row per day, fixed by the fixture's date span,
+    //     invariant under row-count scale-up) ---
+    "agg_adf_test" -> 1, "agg_anderson_darling" -> 2,
+    "agg_binseg_split" -> 1, "agg_cointegration" -> 1,
+    "agg_conformal_interval" -> 6, "agg_durbin_watson" -> 1,
+    "agg_granger" -> 4, "agg_hurst" -> 2, "agg_newey_west" -> 1,
+    "agg_probit_qq" -> 2, "agg_runs_test" -> 3, "agg_sign_test" -> 3,
+    "agg_theil_sen" -> 2, "agg_vif" -> 1,
+    "agg_wilcoxon_signed_rank" -> 1, "events_bass_diffusion" -> 1,
+    "events_ccf" -> 2, "win_frac_diff" -> 1, "win_haar" -> 4,
+    "win_seasonal_decompose" -> 2, "win_stl_anomaly" -> 12,
+    "win_stl_decompose" -> 6,
+    // --- bounded by the VALUE GRID (cumulatives over GROUP BY value
+    //     histograms; events.value is a 2-dp grid whose distinct count
+    //     saturates — 952/6.6k/17.8k at sf0.001/0.01/0.1) ---
+    "agg_decision_stump" -> 2, "agg_dunn_posthoc" -> 2,
+    "agg_energy_distance" -> 1, "agg_kruskal_wallis" -> 1,
+    "agg_ks_test" -> 2, "agg_mannwhitney" -> 1,
+    "agg_qq_two_sample" -> 4, "agg_youden" -> 2,
+    "agg_hodges_lehmann" -> 1, // 1000-dollar Walsh-bin histogram
+    // --- bounded by a FIXED k (deciles, top-k, lag sets, dims,
+    //     bootstrap replicas, duration censuses) ---
+    "agg_benford" -> 1, "agg_bh_fdr" -> 3, "agg_cooks_distance" -> 1,
+    "agg_fisher_exact" -> 9, "agg_hill_tail" -> 2,
+    "agg_kaplan_meier" -> 2, "agg_ljung_box" -> 1, "agg_logrank" -> 1,
+    "agg_lorenz_curve" -> 2, "agg_mahalanobis" -> 1,
+    "agg_nelson_aalen" -> 2, "agg_poisson_bootstrap" -> 2,
+    "etl_surrogate_key" -> 1,
+    "events_weibull_fit" -> 2, "llm_bpe_pairs" -> 1,
+    "llm_embed_outlier" -> 1, "llm_vocab" -> 1,
+    "llm_vocab_coverage" -> 1, "llm_zipf" -> 1,
+    "stream_lateness_profile" -> 1,
+    // --- inherent to the SEMANTICS (stream-replay arrival order; a
+    //     single instrument's tick-chart indicator — per-series
+    //     sequential by definition) ---
+    "stream_late_drop" -> 1, "win_ichimoku" -> 3)
+
+  test("no graded plan sorts an unbounded relation in one task " +
+      "(unpartitioned-Window census)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val k = fn(spark, sf).queryExecution.optimizedPlan
+          .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+          .size
+        val allowed = boundedGlobalWindows.getOrElse(name, 0)
+        if (k != allowed) Some(s"$name: $k global windows (allowed " +
+          s"$allowed — if the new one is bounded, justify it in the " +
+          "allowlist; if not, use ScalableNtile)")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("scan_csv_multiline: the read side is a whole-file (non-split) scan") {

@@ -9,7 +9,7 @@ both sides (sort columns by name, round doubles, stringify timestamps,
 sort rows) and reports per-query PASS/FAIL. Dev tool only — the engine
 itself never depends on DuckDB or Python.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
 
@@ -56,9 +56,13 @@ def fresh_con(sfdir: str):
     con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     con.execute("SET memory_limit='24GB'")
     for t in TABLES:
+        # Driver fixtures are single files; the local sf1 fixture is
+        # Spark-written (a directory of part files) — glob inside it.
+        pat = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 
