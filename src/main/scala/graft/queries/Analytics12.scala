@@ -579,9 +579,10 @@ object Analytics12 {
     // Keyed by BOTH the input dir and this JVM's application id: two
     // concurrent runs (parallel Verify/Bench) or hash-colliding dirs
     // must never overwrite a layout the other is mid-read on.
-    val path = sys.props("java.io.tmpdir") + "/graft_meta_orders_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "_" +
-      s.sparkContext.applicationId
+    val path = graft.core.ScratchDirs.cleanupOnExit(
+      sys.props("java.io.tmpdir") + "/graft_meta_orders_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        s.sparkContext.applicationId)
     val laid = t(s, dir, "orders")
       .withColumn("bkt", pmod(col("o_orderkey"), lit(4)).cast("int"))
       .repartition(4, col("bkt"))

@@ -52,9 +52,10 @@ object Analytics23 {
     * lines = tokens). */
   def scanCsvMultiline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val path = sys.props("java.io.tmpdir") + "/graft_csv_multiline_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "_" +
-      s.sparkContext.applicationId
+    val path = graft.core.ScratchDirs.cleanupOnExit(
+      sys.props("java.io.tmpdir") + "/graft_csv_multiline_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        s.sparkContext.applicationId)
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         regexp_replace(col("text"), " ", "\n").as("text"))
@@ -65,8 +66,13 @@ object Analytics23 {
       .option("header", "true").option("multiLine", "true").csv(path)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).cast("long").as("sum_chars"),
-        sum(size(split(col("text"), "\n"))).cast("long").as("sum_lines"))
+        // Spark CSV reads an empty string back as NULL (default
+        // nullValue "") — coalesce to '' so a zero-length document
+        // counts length 0 / one split element, like the oracle.
+        sum(length(coalesce(col("text"), lit("")))).cast("long")
+          .as("sum_chars"),
+        sum(size(split(coalesce(col("text"), lit("")), "\n")))
+          .cast("long").as("sum_lines"))
   }
 
   // ---------------------------------------------------------------------

@@ -114,39 +114,38 @@ object Analytics5 {
     * aggregation, checkpointed because slope pairs, intercepts and the
     * day count all re-read it; the O(days²) pair relation (~2.9M pairs
     * over 7 years) is sized by the CALENDAR, not the row count — at
-    * 100 TB days² is unchanged, so the quadratic half stays bounded
-    * and the single-partition median sort over it is the same trade
-    * every exact global quantile in the suite makes. The slope median
-    * is checkpointed too (1 row) so the intercept pass cannot re-run
-    * the 2.9M-row sort. */
+    * 100 TB days² is unchanged. Both explicit-middle medians (slopes,
+    * intercepts) ride [[graft.operators.ScalableNtile.middleTwo]] —
+    * histogram refinement: the pair relation is scanned but never
+    * globally sorted or shuffled, only the median bucket (~n/1024
+    * rows) is ranked (a single-task row_number over all 2.9M pairs
+    * cost 4.3 s at sf0.1 and cannot scale out; the oracle keeps that
+    * plain spelling — equal ranks select equal values, so tie order is
+    * immaterial). The slope median is checkpointed (1 row) so the
+    * intercept pass cannot re-run the pair census. */
   def aggTheilSen(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_ts_orders")
-    s.sql(
+    val daily = s.sql(
       """SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS x,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |FROM graft_ts_orders GROUP BY 1""".stripMargin)
       .localCheckpoint(eager = true)
-      .createOrReplaceTempView("graft_ts_daily")
-    s.sql(
-      """WITH p AS (SELECT (b.y - a.y) / (b.x - a.x) AS slope
-        |           FROM graft_ts_daily a JOIN graft_ts_daily b ON b.x > a.x),
-        |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
-        |             count(*) OVER () AS np FROM p)
-        |SELECT avg(slope) AS ts_slope, min(np) AS n_pairs FROM r
-        |WHERE rn IN (CAST((np + 1) div 2 AS BIGINT), CAST((np + 2) div 2 AS BIGINT))"""
-        .stripMargin)
+    val p = daily.select(col("x").as("ax"), col("y").as("ay"))
+      .join(daily.select(col("x").as("bx"), col("y").as("by")),
+        col("bx") > col("ax"))
+      .select(((col("by") - col("ay")) / (col("bx") - col("ax")))
+        .as("slope"))
+    val med = graft.operators.ScalableNtile
+      .middleTwo(p, col("slope"), "ts_slope", "n_pairs")
       .localCheckpoint(eager = true)
-      .createOrReplaceTempView("graft_ts_med")
-    s.sql(
-      """WITH ic AS (SELECT d.y - m.ts_slope * d.x AS icpt
-        |            FROM graft_ts_daily d CROSS JOIN graft_ts_med m),
-        |ir AS (SELECT icpt, row_number() OVER (ORDER BY icpt) AS rn,
-        |              count(*) OVER () AS nd FROM ic),
-        |im AS (SELECT avg(icpt) AS ts_intercept FROM ir
-        |       WHERE rn IN (CAST((nd + 1) div 2 AS BIGINT), CAST((nd + 2) div 2 AS BIGINT))),
-        |days AS (SELECT count(*) AS n_days FROM graft_ts_daily)
-        |SELECT days.n_days, m.n_pairs, m.ts_slope, im.ts_intercept
-        |FROM graft_ts_med m CROSS JOIN im CROSS JOIN days""".stripMargin)
+    val ic = daily.crossJoin(broadcast(med.select("ts_slope")))
+      .select((col("y") - col("ts_slope") * col("x")).as("icpt"))
+    val im = graft.operators.ScalableNtile
+      .middleTwo(ic, col("icpt"), "ts_intercept", "__nd")
+      .select("ts_intercept")
+    val days = daily.agg(count(lit(1)).as("n_days"))
+    med.crossJoin(im).crossJoin(broadcast(days))
+      .select("n_days", "n_pairs", "ts_slope", "ts_intercept")
   }
 
   /** One-sided CUSUM changepoint detector per user (reference value

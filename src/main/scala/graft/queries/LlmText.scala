@@ -273,20 +273,38 @@ object LlmText {
       val perSession = memoCache.computeIfAbsent(
         sid, _ => scala.collection.mutable.Map.empty)
       perSession.getOrElseUpdate(key, {
+        // EXCLUSIVE build time: memo builds nest (clusters ⊇ neardup ⊇
+        // sigs), so each frame on this depth stack accumulates its
+        // children's wall time, which is subtracted on completion.
+        // Per-memo numbers in bench_detail's stage_memos stanza are
+        // then ADDITIVE — they sum to the staging step's wall time —
+        // so round-over-round growth is attributed to the exact index
+        // that grew without hand-subtracting chains. The whole build
+        // runs inside memoCache.synchronized (re-entrant for nested
+        // builds), so the plain stack and the timings buffer need no
+        // extra locking.
+        buildChildSec += 0.0
         val t0 = System.nanoTime()
         val df = compute
-        memoTimings += ((key, (System.nanoTime() - t0) / 1e9))
+        val total = (System.nanoTime() - t0) / 1e9
+        val children = buildChildSec.remove(buildChildSec.length - 1)
+        if (buildChildSec.nonEmpty)
+          buildChildSec(buildChildSec.length - 1) += total
+        memoTimings += ((key, total - children))
         df
       })
     }
 
-  /** (memo key, build seconds) for every shared-index memo computed in
-    * this JVM, in build order. The bench reads this after running
+  /** (memo key, EXCLUSIVE build seconds — nested memo chains already
+    * subtracted) for every shared-index memo computed in this JVM, in
+    * build-completion order. The bench reads this after running
     * `llm_stage_index` so the staging step's cost is attributed PER
     * INDEX in bench_detail.json instead of as one opaque number —
     * growth across rounds is then traceable to the index that grew. */
   private val memoTimings =
     scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+  private val buildChildSec =
+    scala.collection.mutable.ArrayBuffer.empty[Double]
   def stageTimings: Seq[(String, Double)] =
     memoCache.synchronized { memoTimings.toList }
 

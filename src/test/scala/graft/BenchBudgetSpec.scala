@@ -37,12 +37,23 @@ class BenchBudgetSpec extends AnyFunSuite {
   private val PerQueryCeiling = 6.0
   private val StageCeiling = 15.0
   private val SuiteMeanCeiling = 0.9
+  private val PerMemoCeiling = 11.0
   private val Stage = "llm_stage_index"
 
+  /** Newest archive by the EMBEDDED written_ms stamp (bench emits it in
+    * env), filename as tiebreak/fallback — file mtimes are not
+    * preserved by git checkout, so on a fresh clone every archive
+    * shares one mtime and a lastModified maxBy picks an arbitrary run. */
   private def newestArchived(): Option[java.io.File] = {
     val dir = new java.io.File("tools/bench_archive")
+    val stamp = """"written_ms":([0-9]+)""".r
     Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".json")))
-      .filter(_.nonEmpty).map(_.maxBy(_.lastModified))
+      .filter(_.nonEmpty).map(_.maxBy { f =>
+        val text = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        (stamp.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L),
+          f.getName)
+      })
   }
 
   private def pickInput(): Option[java.io.File] =
@@ -96,5 +107,47 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(mean <= SuiteMeanCeiling,
       f"suite mean ${mean}%.3f s/query over ${times.size} queries exceeds " +
         f"$SuiteMeanCeiling%.1f in $path — per-query creep; find the new heavy tail")
+  }
+
+  private def loadMemos(): (String, Seq[(String, Double)]) = {
+    val f = pickInput().getOrElse(fail("no bench detail selected"))
+    assume(f.exists(), s"bench detail ${f.getPath} absent")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // The memo checks only read the r12+ format: written_ms marks
+    // EXCLUSIVE per-memo timings; pre-r12 archives carry inclusive
+    // chains that cannot satisfy additivity.
+    assume(text.contains("\"written_ms\":"),
+      "pre-r12 archive (inclusive memo timings)")
+    val i = text.indexOf("\"stage_memos\":{")
+    assume(i >= 0, "no stage_memos stanza (pre-r11 archive)")
+    val block = text.substring(i + "\"stage_memos\":{".length,
+      text.indexOf("}", i))
+    val entry = """"([^"]+)":(-?[0-9.]+)""".r
+    (f.getPath, entry.findAllMatchIn(block)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+  }
+
+  test(f"no single staged index exceeds $PerMemoCeiling%.1f s (growth attribution)") {
+    val (path, memos) = loadMemos()
+    val over = memos.filter(_._2 > PerMemoCeiling)
+    assert(over.isEmpty,
+      s"staged indexes over the $PerMemoCeiling s line in $path: " +
+        over.map { case (k, v) => f"$k=$v%.1f s" }.mkString(", "))
+  }
+
+  test("stage_memos is additive: exclusive memo costs sum to ~the staging wall") {
+    val (path, memos) = loadMemos()
+    val (_, times) = loadTimes()
+    assume(memos.nonEmpty)
+    val stageSec = times.find(_._1 == Stage).map(t => math.abs(t._2))
+      .getOrElse(fail(s"$Stage missing from $path"))
+    val memoSum = memos.map(_._2).sum
+    // Exclusive timings must neither exceed the staging wall (they are
+    // a decomposition of it, modulo the count/union execution the
+    // stage query runs on top) nor collapse to a token fraction of it.
+    assert(memoSum <= stageSec + 1.0,
+      f"stage_memos sum $memoSum%.1f s exceeds $Stage=$stageSec%.1f s in " +
+        s"$path — timings are no longer exclusive/additive")
   }
 }

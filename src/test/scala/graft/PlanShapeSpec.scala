@@ -181,7 +181,7 @@ class PlanShapeSpec extends SparkTestBase {
     "agg_conformal_interval" -> 6, "agg_durbin_watson" -> 1,
     "agg_granger" -> 4, "agg_hurst" -> 2, "agg_newey_west" -> 1,
     "agg_probit_qq" -> 2, "agg_runs_test" -> 3, "agg_sign_test" -> 3,
-    "agg_theil_sen" -> 2, "agg_vif" -> 1,
+    "agg_vif" -> 1,
     "agg_wilcoxon_signed_rank" -> 1, "events_bass_diffusion" -> 1,
     "events_ccf" -> 2, "win_frac_diff" -> 1, "win_haar" -> 4,
     "win_seasonal_decompose" -> 2, "win_stl_anomaly" -> 12,
