@@ -45,10 +45,15 @@ object Analytics13 {
     * standard spelling on trading calendars with gaps. The daily
     * relation is checkpointed (8 lag reads are one window pass, but
     * the census below it would otherwise re-aggregate the corpus). */
+  // e-notation so BOTH engines parse each weight as the exact DOUBLE:
+  // a bare decimal literal becomes DECIMAL first, and its
+  // decimal→double conversion landed 1 ulp off the direct double parse
+  // in DuckDB — one sf1 row's 8-term dot product flipped (the
+  // determinism doc's bare-decimal-literal rule, bitten in the wild).
   private val fdWeights = Seq(
-    "1.0", "-0.4", "-0.12000000000000002", "-0.06400000000000002",
-    "-0.04160000000000001", "-0.029952000000000006",
-    "-0.022963200000000003", "-0.01837056")
+    "1.0e0", "-4.0e-1", "-1.2000000000000002e-1", "-6.400000000000002e-2",
+    "-4.160000000000001e-2", "-2.9952000000000006e-2",
+    "-2.2963200000000003e-2", "-1.837056e-2")
 
   private def fracDiffSql(daily: String): String = {
     val lags = fdWeights.zipWithIndex.map { case (_, k) =>

@@ -416,12 +416,16 @@ object Analytics2 {
     * aggregating — the outlier-robust cleaning step for metrics (and
     * the numeric analog of llm_length_filter's quality gate). The
     * percentile bounds are one row per type, broadcast back; the fact
-    * side clamps and aggregates without shuffling. */
+    * side clamps and aggregates without shuffling. Bounds are rounded
+    * at 4 dp (the `agg_median` parity rule) — interpolated percentiles
+    * are a double multiply whose last ulp differs between engines, and
+    * at sf1 a data point landed exactly on the raw p99 boundary,
+    * flipping n_clip_hi by one. */
   def llmWinsorize(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val b = e.groupBy("event_type")
-      .agg(expr("percentile(value, 0.01)").as("lo"),
-        expr("percentile(value, 0.99)").as("hi"))
+      .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
+        round(expr("percentile(value, 0.99)"), 4).as("hi"))
     e.join(broadcast(b), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -502,7 +506,8 @@ object Analytics2 {
         |FROM events GROUP BY ROLLUP(CAST(ts AS DATE))""".stripMargin,
     "llm_winsorize" ->
       """WITH b AS (SELECT event_type,
-        |             quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        |             ROUND(quantile_cont(value, 0.01), 4) AS lo,
+        |             ROUND(quantile_cont(value, 0.99), 4) AS hi
         |           FROM events GROUP BY 1)
         |SELECT e.event_type,
         |       COUNT(*) AS n,

@@ -276,8 +276,9 @@ object Analytics21 {
        |${seg("s2", "WHERE post")}
        |SELECT CAST(p.n AS BIGINT) AS n_days,
        |  CAST(s1.n AS BIGINT) AS n_pre, CAST(s2.n AS BIGINT) AS n_post,
-       |  ${rss("p")} AS rss_pooled,
-       |  ${rss("s1")} + ${rss("s2")} AS rss_split,
+       |  CASE WHEN ${rss("p")} > 0.0 THEN
+       |    ROUND((${rss("s1")} + ${rss("s2")}) / ${rss("p")}, 6)
+       |  END AS rss_ratio,
        |  CASE WHEN s1.n > 2 AND s2.n > 2
        |         AND ${rss("s1")} + ${rss("s2")} > 0.0 THEN
        |    ((${rss("p")} - ${rss("s1")} - ${rss("s2")}) / 2.0)

@@ -1405,7 +1405,7 @@ object LlmText {
   // Shared oracle CTE fragments (DuckDB dialect).
   private val shingleCte =
     """d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, source,
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, source,
       |         unnest(list_transform(range(greatest(len(t) - 2, 0)),
       |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
       |       FROM d)""".stripMargin
@@ -1431,7 +1431,7 @@ object LlmText {
       |          JOIN sh sa ON sa.doc_id = c.doc_a
       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
       |          GROUP BY c.doc_a, c.doc_b),
-      |pairs AS (SELECT doc_a, doc_b,
+      |pairs AS MATERIALIZED (SELECT doc_a, doc_b,
       |            n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) AS jaccard
       |          FROM minter
       |          JOIN msizes za ON za.doc_id = doc_a
@@ -1583,7 +1583,7 @@ object LlmText {
       val prefix = dedupClustersSql.substring(0,
         dedupClustersSql.indexOf("SELECT node AS doc_id"))
       prefix.trim + ",\n" +
-        """dropped AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node)
+        """dropped AS MATERIALIZED (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node)
           |SELECT d.source, COUNT(*) AS n_docs,
           |  CAST(SUM(CASE WHEN d.doc_id IN (SELECT node FROM dropped)
           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
@@ -1595,7 +1595,7 @@ object LlmText {
       val prefix = dedupClustersSql.substring(0,
         dedupClustersSql.indexOf("SELECT node AS doc_id"))
       prefix.trim + ",\n" +
-        s"""dropped AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node),
+        s"""dropped AS MATERIALIZED (SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node),
            |b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
            |        quantile_cont(n_chars, 0.95) AS hi FROM documents),
            |kept AS (SELECT doc_id, source,

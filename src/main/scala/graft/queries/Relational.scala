@@ -104,14 +104,23 @@ object Relational {
   /** Native bitmap exact-distinct (graft.plans.BitmapDistinct, a
     * TypedImperativeAggregate): one aggregation pass, per-group bitmap
     * buffers OR-merged map-side — vs COUNT(DISTINCT)'s expand+double
-    * aggregation. Exact, so the oracle is plain COUNT(DISTINCT). */
+    * aggregation. Exact, so the oracle is plain COUNT(DISTINCT). The
+    * capacity is a CALLER contract (keys above it are ignored by the
+    * operator's documented semantics): 9 999 999 covers l_partkey's
+    * SPARSE surrogate domain at sf1 (max key 9 019 999 — the fixture
+    * scatters part keys, it does not densify them) at a 1.25 MiB
+    * per-group buffer — sized to the caller's key DOMAIN, not its
+    * distinct count, the way a real caller sizes it from dimension
+    * metadata (an OPEN key domain wants approx_count_distinct/HLL
+    * instead; sf1 exposed exactly this when a 2²⁰−1 literal silently
+    * undercounted). */
   def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     t(s, dir, "lineitem").createOrReplaceTempView("graft_bmd_lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  bitmap_distinct(l_partkey, 1048575) AS n_parts,
-        |  bitmap_distinct(l_suppkey, 1048575) AS n_supps
+        |  bitmap_distinct(l_partkey, 9999999) AS n_parts,
+        |  bitmap_distinct(l_suppkey, 9999999) AS n_supps
         |FROM graft_bmd_lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
   }

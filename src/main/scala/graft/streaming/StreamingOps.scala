@@ -25,10 +25,17 @@ object StreamingOps {
     * Tables.load; schema discovered from the parquet footer). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", graft.core.Tables.normalizedTs(raw))
+    // Driver fixtures ship events.parquet as a single FILE (stream the
+    // parent dir, glob-filtered to it); Spark-written fixtures (the
+    // local sf1 set) ship a DIRECTORY of part files (stream the
+    // directory itself — the glob filter would match no files and the
+    // source would silently emit an empty stream).
+    val f = new java.io.File(s"$dir/events.parquet")
+    val src =
+      if (f.isDirectory) s.readStream.schema(raw).parquet(f.getAbsolutePath)
+      else s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts", graft.core.Tables.normalizedTs(raw))
   }
 
   /** Tumbling 1-hour windows with a 10-minute watermark. */

@@ -37,9 +37,13 @@ class Analytics21Spec extends SparkTestBase {
     assert(rows.length == 1)
     val r = rows.head
     assert(r.getLong(1) + r.getLong(2) == r.getLong(0))
-    // per-segment OLS fits at least as well as the pooled line
-    assert(r.getDouble(4) <= r.getDouble(3) + 1e-6 * r.getDouble(3))
-    if (!r.isNullAt(5)) assert(r.getDouble(5) >= -1e-9)
+    // per-segment OLS fits at least as well as the pooled line:
+    // rss_split / rss_pooled ∈ (0, 1]
+    if (!r.isNullAt(3)) {
+      assert(r.getDouble(3) <= 1.0 + 1e-6)
+      assert(r.getDouble(3) > 0.0)
+    }
+    if (!r.isNullAt(4)) assert(r.getDouble(4) >= -1e-9)
   }
 
   test("agg_randomization_test: p-value consistent with the extreme count") {

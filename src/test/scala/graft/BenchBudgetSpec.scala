@@ -47,7 +47,15 @@ class BenchBudgetSpec extends AnyFunSuite {
   private def newestArchived(): Option[java.io.File] = {
     val dir = new java.io.File("tools/bench_archive")
     val stamp = """"written_ms":([0-9]+)""".r
-    Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".json")))
+    Option(dir.listFiles()).map(_.filter { f =>
+        f.getName.endsWith(".json") && {
+          // only sf0.1 archives are budget inputs — scaling-curve runs
+          // (sf1) are archived alongside and must not shadow them
+          val text = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          """"sf":0\.1[,}]""".r.findFirstIn(text).isDefined
+        }
+      })
       .filter(_.nonEmpty).map(_.maxBy { f =>
         val text = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

@@ -53,7 +53,7 @@ def fresh_con(sfdir: str):
     # Fresh connections + an explicit spill directory make the gate's
     # verdict a property of the QUERY, not of run-accumulated state.
     con = duckdb.connect()
-    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
+    con.execute(f"SET temp_directory='/tmp/graft_duckdb_spill_{os.getpid()}'")
     con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         # Driver fixtures are single files; the local sf1 fixture is
