@@ -139,7 +139,7 @@ object Bench {
     case class Run(name: String, sec: Double, ok: Boolean,
       read: Long, write: Long, spill: Long,
       gcMs: Long, peakMb: Long, cachedMemMb: Long, cachedDiskMb: Long,
-      tStart: Double, load: Double)
+      tStart: Double, load: Double, newRdds: Set[Int])
     val allQ = SparkEntry.queries.toSeq.sortBy(_._1)
     val (stageQ, restQ) = allQ.partition(_._1 == "llm_stage_index")
     // RANDOMIZED execution order (stage step still first — the memos
@@ -162,6 +162,7 @@ object Bench {
       val r0 = metrics.shuffleRead.get; val w0 = metrics.shuffleWrite.get
       val s0 = metrics.spilled.get; val g0 = metrics.gcTime.get + driverGcMs()
       metrics.peakExecMem.set(0)
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
       val load = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       val tStart = (t0 - benchT0) / 1e9
@@ -178,7 +179,8 @@ object Bench {
         metrics.spilled.get - s0,
         metrics.gcTime.get + driverGcMs() - g0,
         metrics.peakExecMem.get / 1048576, cm / 1048576, cd / 1048576,
-        tStart, load)
+        tStart, load,
+        (spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore).toSet)
     }
     // Second-measurement correction, two cohorts, keeping the MIN of
     // the two runs so the canonical artifact of a driver-style run is
@@ -197,21 +199,40 @@ object Bench {
     val coldCutoffS = 120.0
     val heavyRerunS = 2.0
     val fns = SparkEntry.queries
+    val needsRerun = (r: Run) =>
+      r.ok && r.name != "llm_stage_index" &&
+        (r.tStart < coldCutoffS || r.sec > heavyRerunS)
     val results = firstPass.map { r =>
-      if (!r.ok || r.name == "llm_stage_index" ||
-          (r.tStart >= coldCutoffS && r.sec <= heavyRerunS)) r
+      if (!needsRerun(r)) r
       else {
+        // Evict blocks the FIRST run persisted (ScalableNtile bases,
+        // localCheckpoints): Spark's CacheManager serves an identical
+        // re-built plan from those blocks, so without the evict the
+        // rerun of every persist-using query measures a cache hit and
+        // min() systematically under-reports plan cost. Evicting only
+        // this query's own blocks leaves the shared staging memos (all
+        // created by llm_stage_index, which never reruns) untouched.
+        // localCheckpoint blocks are SKIPPED: they are not plan-identity
+        // reused (a re-built plan gets fresh RDD ids) and unpersisting
+        // one is destructive — the truncated lineage cannot recompute,
+        // so a memo lazily built during this query's first run would
+        // break every later consumer.
+        val live = spark.sparkContext.getPersistentRDDs
+        r.newRdds.foreach(id => live.get(id)
+          .filterNot(_.isCheckpointed).foreach(_.unpersist(false)))
         val t0 = System.nanoTime()
-        try { fns(r.name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () } // keep the first measurement
+        // A failed rerun must never lower the recorded time: a fast
+        // transient failure (scratch collision, OOM) would otherwise
+        // replace a valid first measurement with its own elapsed time.
+        val rerunOk =
+          try { fns(r.name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save(); true }
+          catch { case _: Throwable => false } // keep the first measurement
         val warm = (System.nanoTime() - t0) / 1e9
-        r.copy(sec = math.min(r.sec, warm))
+        if (rerunOk) r.copy(sec = math.min(r.sec, warm)) else r
       }
     }
-    val coldRerun = results.count(r =>
-      r.ok && r.name != "llm_stage_index" &&
-        (r.tStart < coldCutoffS || r.sec > heavyRerunS))
+    val coldRerun = firstPass.count(needsRerun)
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     val secByName = results.map(r => r.name -> r.sec).toMap
     val qsAll = results.map(r => "\"" + r.name + "\":" + f"${r.sec}%.3f")
