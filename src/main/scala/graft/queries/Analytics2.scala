@@ -206,11 +206,15 @@ object Analytics2 {
     * per-user purchase stats, then NTILE(5) quintiles per dimension
     * with user_id tiebreaks so the bucketing is a total order. The
     * per-user table is already an aggregate, but "rows = users" is
-    * still O(data) at 100×, so each quintile rides
-    * [[graft.operators.ScalableNtile]] — exact distributed rank
-    * (quantile-bucketed, per-bucket window + broadcast offsets) fed to
-    * the integer NTILE formula — instead of a single-task global
-    * window. DESC orders negate the key (longs/doubles, no overflow
+    * still O(data) at 100×, so the quintiles ride
+    * [[graft.operators.ScalableNtile.withNtiles]] — exact distributed
+    * rank (grid-bucketed, per-bucket window + broadcast offsets) fed
+    * to the integer NTILE formula — instead of single-task global
+    * windows. All THREE quintiles come from ONE device instantiation
+    * (one persisted base, one combined boundary action); the r12 shape
+    * — three nested withNtile calls — persisted three progressively
+    * wider frames and paid three boundary actions for one logical
+    * pass. DESC orders negate the key (longs/doubles, no overflow
     * case here); the oracle keeps native NTILE, bit-identical. */
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "events")
@@ -220,11 +224,10 @@ object Analytics2 {
         count(lit(1)).as("freq"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("monetary"))
-    val q = (df: DataFrame, key: String, out: String) =>
-      graft.operators.ScalableNtile.withNtile(
-        df, 5, Nil, -col(key), Seq(col("user_id")), out)
-    q(q(q(p, "last_us", "r_quintile"), "freq", "f_quintile"),
-        "monetary", "m_quintile")
+    graft.operators.ScalableNtile.withNtiles(p, 5, Nil, Seq(
+        (-col("last_us"), Seq(col("user_id")), "r_quintile"),
+        (-col("freq"), Seq(col("user_id")), "f_quintile"),
+        (-col("monetary"), Seq(col("user_id")), "m_quintile")))
       .select("user_id", "r_quintile", "f_quintile", "m_quintile",
         "freq", "monetary")
   }

@@ -876,24 +876,46 @@ object Relational {
         Seq("l_returnflag"), "full")
   }
 
-  /** Keyless point-in-interval join ([[graft.operators.IntervalJoin]]):
-    * every event falling inside any error's 15-minute incident window,
-    * across ALL users — no equi key exists, so the operator
-    * manufactures one (time buckets) instead of letting Spark plan a
-    * nested-loop. Oracle: the plain theta join (DuckDB plans it as an
-    * IEJoin). */
+  /** Keyless point-in-interval COUNTING: per event type, how many
+    * (event, error-window) containments exist and how many distinct
+    * events sit inside at least one error's 15-minute incident window,
+    * across ALL users.
+    *
+    * The r12 shape enumerated the pairs (bucketed equi-join,
+    * [[graft.operators.IntervalJoin]]) and aggregated them away — but
+    * over a fixed fixture time span, densifying events makes the PAIR
+    * STREAM inherently quadratic (measured 15.1× on 10× data), for an
+    * output that is five counter rows. Counting does not need the
+    * pairs: coverage(p) = #window-starts ≤ p − #window-ends ≤ p is a
+    * RUNNING SUM over the merged boundary/point stream, so n_hits =
+    * Σ_points coverage and n_events = #points with coverage > 0 — one
+    * linear sweep, planned as [[graft.operators.ScalableNtile
+    * .withRunningSum]]'s parallel bucket decomposition (no single-task
+    * window, no pair materialization). Tie discipline: `kind` orders
+    * window deltas BEFORE the points they tie with, so lo ≤ p is
+    * inclusive and hi ≤ p subtracts exactly the windows with hi = p
+    * (half-open [lo, hi)); point rows carry delta 0, so peer points at
+    * one timestamp cannot disturb each other. Oracle: the plain theta
+    * join (DuckDB plans it as an IEJoin) — identical output, the
+    * engines just differ in HOW they count. */
   def joinInterval(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-    val wins = e.filter(col("event_type") === "error")
-      .select(col("event_id").as("win_id"), col("ts").as("lo"),
-        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
-    val pts = e.select(col("event_id").as("pt_id"), col("ts").as("pt_ts"),
-      col("event_type"))
-    graft.operators.IntervalJoin
-      .pointInInterval(pts, wins, "pt_ts", "lo", "hi", widthSec = 900)
+    val us = unix_micros(col("ts"))
+    val deltas = e.filter(col("event_type") === "error")
+      .select(us.as("sweep_us"), lit(0).as("kind"), lit(1L).as("delta"),
+        lit(null).cast("string").as("event_type"))
+      .unionByName(e.filter(col("event_type") === "error")
+        .select((us + lit(900000000L)).as("sweep_us"), lit(0).as("kind"),
+          lit(-1L).as("delta"), lit(null).cast("string").as("event_type")))
+    val pts = e.select(us.as("sweep_us"), lit(1).as("kind"),
+      lit(0L).as("delta"), col("event_type"))
+    val covered = graft.operators.ScalableNtile.withRunningSum(
+      deltas.unionByName(pts), Nil, col("sweep_us"), Seq(col("kind")),
+      col("delta"), "coverage")
+    covered.filter(col("kind") === 1)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("pt_id")).as("n_events"))
+      .agg(sum(col("coverage")).as("n_hits"),
+        count(when(col("coverage") > 0, 1)).as("n_events"))
   }
 
   /** Count-min sketch frequency estimates ([[graft.plans.CountMinSketch]],

@@ -34,11 +34,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "Q1 should hash-aggregate")
   }
 
-  test("join_interval: bucketed formulation never plans a nested loop") {
+  test("join_interval: sweep-line counting, no pair enumeration") {
+    // The r12 shape equi-joined points × exploded windows — bounded
+    // per bucket, but the PAIR STREAM is inherently quadratic when
+    // events densify over a fixed span (measured 15.1× on 10× data).
+    // The sweep shape: one partitioned running-sum window over the
+    // merged boundary/point stream, plus the device's single BOUNDED
+    // nested loop (the ≤1025-row bucket-histogram triangular offset
+    // join — broadcast, O(G²) on G=1024 rows, data-independent).
     val p = physical("join_interval")
-    assert(!p.contains("BroadcastNestedLoopJoin")
-      && !p.contains("CartesianProduct"),
-      "keyless interval join regressed to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested loops (expected the 1 bounded " +
+      s"histogram-offset join):\n$p")
+    assert(p.contains("Window"), "sweep-line running sum missing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a data×data join reappeared in the counting path:\n$p")
   }
 
   test("join_range: pair fan-out is bucket-bounded (compound equi key)") {
