@@ -365,21 +365,33 @@ object Multimodal {
     * (32×8) rasters enter: banded Hamming between different
     * geometries is not meaningful. At 100 TB the candidate join
     * shuffles (id, band, int) triples only; the blobs were left
-    * behind at decode time. Band width must track corpus size: 4×16
-    * bits is right for ~10⁴–10⁵ images (bucket occupancy stays O(1));
-    * at billions of images use fewer, wider bands (2×32) so the
-    * per-bucket candidate blow-up stays bounded — same dial as
-    * `llm_minhash_neardup`'s band/row split. Ties/dups: candidates
-    * are DISTINCT (a pair sharing 2 bands appears once), pairs are
-    * a<b. */
+    * behind at decode time.
+    *
+    * Band width TRACKS CORPUS SIZE (the r12 lesson: hard-coded 4×16
+    * bands measured 38× on 10× data — the perceptual hashes cluster,
+    * so 16-bit bucket occupancy grows with n and Σ n_b² blows up):
+    * ≤8k images use 4×16-bit bands (wide recall, O(1) occupancy at
+    * that scale — 35M candidate pairs vs 0.7M measured at 37.6k
+    * images); beyond, 2×32-bit bands (measured 50× fewer candidates
+    * at sf1, max bucket 261 vs 3033). The dial is the same band/row
+    * split as `llm_minhash_neardup`; the DuckDB twin computes the
+    * identical CASE, so both engines always block alike. Past ~10⁷
+    * images the next step is hierarchical multi-index hashing
+    * (recurse on the remaining bits inside overfull buckets) — a
+    * single 64-bit band would only find EXACT duplicates. Ties/dups:
+    * candidates are DISTINCT (a pair sharing 2 bands appears once),
+    * pairs are a<b. */
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val ph = phashImages(mediaFromDocuments(s, dir)).toDF()
+    val nFull = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) >= 256).count()
+    val r = if (nFull > 8000) 4 else 2 // rows per band: 2→16-bit, 4→32-bit
     val full = ph.groupBy("media_id").agg(max(col("y")).as("ymax"))
       .filter(col("ymax") === 7).select("media_id")
     val bands = ph.join(full, "media_id")
-      .groupBy(col("media_id"), expr("y div 2").as("band"))
-      .agg(sum(when(col("y") % 2 === 0, col("row_hash"))
-        .otherwise(col("row_hash") * 256)).as("bval"))
+      .groupBy(col("media_id"), expr(s"y div $r").as("band"))
+      .agg(sum(expr(s"shiftleft(row_hash, CAST((y % $r) * 8 AS INT))"))
+        .as("bval"))
     val a = bands.select(col("media_id").as("doc_a"), col("band"),
       col("bval"))
     val b = bands.select(col("media_id").as("doc_b"), col("band"),
@@ -1007,10 +1019,14 @@ object Multimodal {
         |FROM bits b JOIN rsum r ON b.doc_id = r.doc_id AND b.y = r.y"""
         .stripMargin,
     // Full-height (h=8) images only; band values and Hamming terms are
-    // small exact integers in both engines.
+    // small exact integers in both engines. The band-rows dial (2→16
+    // bit, 4→32 bit past 8k images) is the same CASE the Spark side
+    // computes, so both engines block identically at every scale.
     "mm_phash_neardup" ->
       """WITH m AS (SELECT doc_id, text FROM documents
         |           WHERE length(text) >= 256),
+        |dial AS (SELECT CASE WHEN COUNT(*) > 8000 THEN 4 ELSE 2 END AS r
+        |         FROM m),
         |px AS (SELECT doc_id, g.p, ascii(substr(text, g.p + 1, 1)) AS v
         |       FROM m CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g),
         |tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
@@ -1021,8 +1037,9 @@ object Multimodal {
         |           sum(CASE WHEN c.cs * 64 > t.t
         |               THEN 1 << c.x ELSE 0 END) AS rh
         |         FROM cell c JOIN tot t USING (doc_id) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, y // 2 AS band,
-        |            CAST(sum(rh * CASE WHEN y % 2 = 0 THEN 1 ELSE 256 END)
+        |bands AS (SELECT doc_id, y // (SELECT r FROM dial) AS band,
+        |            CAST(sum(rh * (CAST(1 AS BIGINT)
+        |                  << CAST(8 * (y % (SELECT r FROM dial)) AS INT)))
         |                 AS BIGINT) AS bval
         |          FROM bits GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

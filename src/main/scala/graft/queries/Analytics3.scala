@@ -97,19 +97,29 @@ object Analytics3 {
   }
 
   /** Blocked Levenshtein near-dup scoring: candidate pairs share
-    * (lang, exact char length) — the cheapest admissible block, since
-    * edit distance ≥ length difference — and only short documents
-    * (<120 chars) enter, bounding the O(len²) DP cell count per pair.
-    * Emits every blocked pair with its absolute and length-relative
-    * distance; a production pipeline would add band blocking on a
-    * cheap sketch before the exact DP, exactly as `llm_minhash_*`
-    * stages do for Jaccard. */
+    * (lang, exact char length, MINHASH BAND) — length because edit
+    * distance ≥ length difference, and a one-hash MinHash of the word
+    * set (min over md5(token), the `llm_minhash_*` hash family) as the
+    * content band: near-identical short docs share their minimum-hash
+    * word with probability ≈ their word-set Jaccard, while unrelated
+    * docs collide at ~1/|vocab|. Only short documents (<120 chars)
+    * enter, bounding the O(len²) DP cell count per pair.
+    *
+    * Scale: (lang, n_chars) alone is a FIXED-cardinality block key
+    * (≲10 langs × 119 lengths), so Σ n_b² grew quadratically — the r12
+    * sf1 bench measured 13× on 10× data. The band key's cardinality
+    * grows with the corpus vocabulary, which is what keeps blocks O(1)
+    * as the corpus grows; md5 keeps the DuckDB twin exact. The sketch
+    * is a higher-order expression (array_min ∘ transform) — no
+    * explode, no extra shuffle. */
   def llmEditDistance(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("n_chars") < 120)
-      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-    val a = d.toDF("doc_a", "text_a", "lang", "n_chars")
-    val b = d.toDF("doc_b", "text_b", "lang", "n_chars")
-    a.join(b, Seq("lang", "n_chars"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        expr("array_min(transform(split(text, ' '), t -> md5(t)))")
+          .as("band"))
+    val a = d.toDF("doc_a", "text_a", "lang", "n_chars", "band")
+    val b = d.toDF("doc_b", "text_b", "lang", "n_chars", "band")
+    a.join(b, Seq("lang", "n_chars", "band"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         col("n_chars").as("len_chars"),
@@ -254,14 +264,20 @@ object Analytics3 {
         |  GROUP BY pr.iter, w.dst)
         |SELECT node, CAST(rank AS DOUBLE) AS rank FROM pr WHERE iter = 10""".stripMargin,
     "llm_edit_distance" ->
-      """WITH d AS (SELECT doc_id, text, lang, n_chars
-        |           FROM documents WHERE n_chars < 120)
+      """WITH d0 AS (SELECT doc_id, text, lang, n_chars
+        |            FROM documents WHERE n_chars < 120),
+        |mh AS (SELECT doc_id, MIN(md5(tok)) AS band
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM d0) GROUP BY 1),
+        |d AS (SELECT d0.doc_id, d0.text, d0.lang, d0.n_chars, mh.band
+        |      FROM d0 JOIN mh USING (doc_id))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  a.n_chars AS len_chars,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
         |  CAST(levenshtein(a.text, b.text) AS DOUBLE) / a.n_chars AS rel
         |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id""".stripMargin,
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.band = b.band
+        |   AND a.doc_id < b.doc_id""".stripMargin,
     "llm_zipf" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY term),

@@ -28,11 +28,60 @@ object LlmVectors {
   private def cos(a: Column, b: Column): Column =
     GraftFunctions.cosineSim(a, b)
 
-  /** Sign-bit LSH bucket from the first 4 dimensions (16 buckets). */
+  /** Sign-bit LSH bucket from the first 4 dimensions (16 buckets) —
+    * the QUERY-side key (10 broadcast queries probe their bucket);
+    * fixed width is fine there because the query side never grows.
+    * Corpus-side self-joins use the DIALED keys below instead. */
   private def bucket(v: Column): Column =
     (0 until 4).map(j =>
       when(get(v, lit(j)) > 0f, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** Corpus-size dials for the self-join block keys, as integer
+    * threshold ladders (exact on both engines — no log2/ceil float
+    * boundary can flip a bucket count between Spark and DuckDB). One
+    * more bit per corpus doubling keeps expected occupancy n/2^bits
+    * O(1), which is what turns the blocked self-join's Σ n_b² from
+    * quadratic to ~linear: the r12 sf1 bench measured the FIXED-block
+    * versions at 21× (embed_neardup) and 14× (semdedup) on 10× data.
+    * The same ladder text is emitted into the DuckDB oracle, so both
+    * engines always block identically. */
+  private def ladderCount(n: Long, base: Long, steps: Int): Int =
+    (0 until steps).count(j => n > (base << j))
+
+  private[graft] def ladderSql(nCol: String, base: Long, steps: Int): String =
+    (0 until steps)
+      .map(j => s"CASE WHEN $nCol > ${base << j} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  /** Band width for the banded sign-LSH: 4 bits at ≤512 rows, +1 per
+    * doubling, capped at the 16-dim stripe width. Past ~2M rows the
+    * cap saturates — the next dial is MORE bands (stripes of the
+    * remaining dims) or multi-probe, same trade as minhash band/row
+    * splits. */
+  private[graft] def signBandBits(n: Long): Int =
+    math.min(16, 4 + ladderCount(n, 512L, 12))
+
+  /** SemDeDup sub-cell bits: 0 at ≤1000 rows (pure label blocks), +1
+    * per doubling. The sign hypercube is a deterministic stand-in for
+    * the k-means coarse quantizer (k = 2^bits ∝ n) a production
+    * SemDeDup trains — [[kmeansTrain]] is the trained variant; the
+    * hypercube keeps the oracle a pure SQL twin. */
+  private[graft] def cellBits(n: Long): Int = ladderCount(n, 1000L, 24)
+
+  /** Per-vector (band, value) keys: 4 bands, band j = `w` sign bits of
+    * dims [16j, 16j+w). Pairs agreeing on ANY band become candidates
+    * (minhash-LSH OR-semantics — recall degrades gracefully as w
+    * grows, instead of collapsing the way a single wider key would). */
+  private[graft] def signBands(e: DataFrame, w: Int): DataFrame = {
+    def bv(j: Int): Column = (0 until w).map(b =>
+      when(get(col("embedding"), lit(j * 16 + b)) > 0f, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    e.select(col("vec_id"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"), bv(j).as("bv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+  }
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def cosineTopk(s: SparkSession, dir: String): DataFrame = {
@@ -69,14 +118,30 @@ object LlmVectors {
         round(col("sim_raw"), 4).as("sim"))
   }
 
-  /** Embedding near-duplicate pairs: bucket-blocked cosine >= 0.42. */
+  /** Embedding near-duplicate pairs: banded sign-LSH candidates
+    * (4 bands × [[signBandBits]]-dialed width, OR-semantics, DISTINCT
+    * pairs) verified by exact cosine ≥ 0.42. The r12 shape — all-pairs
+    * within 16 FIXED sign buckets — was O(n²/16) and measured 21× on
+    * 10× data; the dial adds one band bit per corpus doubling so
+    * candidate mass stays ~linear. Only (id, band, value) triples
+    * shuffle for candidate generation; embeddings join back by id for
+    * the verify, exactly like `llm_minhash_neardup`. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
-    e.as("a").join(e.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cos(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val w = signBandBits(e.count())
+    val bands = signBands(e, w)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cos(col("ea"), col("eb")).as("sim_raw"))
       .filter(col("sim_raw") >= 0.42)
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
   }
@@ -328,19 +393,31 @@ object LlmVectors {
   }
 
   /** SemDeDup-shaped semantic dedup: near-dup cosine pairs are only
-    * sought WITHIN a semantic block (here the `label` column — in
-    * production, the k-means cluster id that `llm_kmeans_train`
-    * produces), then each block reports members, duplicate pairs, and
-    * the prune count under the deterministic "drop the higher vec_id
-    * of every pair" policy.
+    * sought WITHIN a semantic block, then each `label` reports
+    * members, duplicate pairs, and the prune count under the
+    * deterministic "drop the higher vec_id of every pair" policy.
     *
-    * Scale: all-pairs is O(n²); blocking makes it Σ n_b² with the
-    * equi-join on block id as the only shuffle — the same reason
-    * embed_neardup buckets by sign and minhash bands by signature. */
+    * Scale: blocking makes the pair mass Σ n_b², which is only
+    * sub-quadratic if the BLOCK COUNT GROWS with the corpus — real
+    * SemDeDup scales its k-means k with n. The r12 block key (`label`
+    * alone, fixed cardinality) measured 14× on 10× data; the block is
+    * now (label × sign-hypercube cell) with [[cellBits]] adding one
+    * cell bit per corpus doubling — a deterministic coarse quantizer
+    * with k ∝ n (the trained variant is [[kmeansTrain]]; the hypercube
+    * keeps the DuckDB twin exact). Pair counts stay per-label in the
+    * output; cells only bound the search. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val e0 = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val cb = cellBits(e0.count())
+    val cellCol: Column =
+      if (cb == 0) lit(0L)
+      else (0 until cb).map(b =>
+        when(get(col("embedding"), lit(b)) > 0f, lit(1L << b))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val e = e0.withColumn("cell", cellCol)
     val pairs = e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label")
+        && col("a.cell") === col("b.cell")
         && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("b.vec_id").as("vec_b"),
         cos(col("a.embedding"), col("b.embedding")).as("sim"))
@@ -464,9 +541,22 @@ object LlmVectors {
         |  sqrt(GREATEST(sxx/n - (sx/n)*(sx/n), 0.0)) AS std
         |FROM st""".stripMargin,
     "llm_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH dial AS (SELECT ${ladderSql("COUNT(*)", 1000L, 24)} AS cb
+         |              FROM embeddings),
+         |e0 AS (SELECT vec_id, label, embedding,
+         |         CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (SELECT e0.vec_id, j.j,
+         |           CASE WHEN j.j >= 0 AND e0.embedding[j.j + 1] > 0
+         |                THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END AS bit
+         |         FROM e0 CROSS JOIN
+         |           (SELECT unnest(range(-1, (SELECT cb FROM dial))) AS j) j),
+         |cells AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS cell
+         |          FROM bits GROUP BY 1),
+         |e AS (SELECT e0.vec_id, e0.label, e0.v, cells.cell
+         |      FROM e0 JOIN cells USING (vec_id)),
          |p AS (SELECT a.label, b.vec_id AS vec_b
-         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      FROM e a JOIN e b ON a.label = b.label AND a.cell = b.cell
+         |        AND a.vec_id < b.vec_id
          |      WHERE ${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")} >= 0.35),
          |m AS (SELECT label, COUNT(*) AS n_members FROM e GROUP BY label),
          |pc AS (SELECT label, COUNT(*) AS pair_cnt FROM p GROUP BY label),
@@ -690,9 +780,26 @@ object LlmVectors {
          |SELECT q_id, rnk, vec_id, ROUND(sim_raw, 4) AS sim
          |FROM r WHERE rnk <= 3""".stripMargin,
     "llm_embed_neardup" ->
-      s"""WITH $eCte
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ROUND(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 4) AS sim
-         |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-         |WHERE ${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")} >= 0.42""".stripMargin)
+      s"""WITH dial AS (SELECT LEAST(16, 4 + ${ladderSql("COUNT(*)", 512L, 12)}) AS w
+         |              FROM embeddings),
+         |e AS (SELECT vec_id, embedding,
+         |        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bits AS (SELECT e.vec_id, b.band, j.j,
+         |           CASE WHEN j.j >= 0 AND e.embedding[b.band * 16 + j.j + 1] > 0
+         |                THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END AS bit
+         |         FROM e
+         |           CROSS JOIN (SELECT unnest(range(4)) AS band) b
+         |           CROSS JOIN
+         |             (SELECT unnest(range(-1, (SELECT w FROM dial))) AS j) j),
+         |bands AS (SELECT vec_id, band, CAST(SUM(bit) AS BIGINT) AS bv
+         |          FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b ON a.band = b.band
+         |           AND a.bv = b.bv AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |  ROUND(${cosSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")}, 4) AS sim
+         |FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.vec_a
+         |  JOIN e eb ON eb.vec_id = c.vec_b
+         |WHERE ${cosSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")} >= 0.42""".stripMargin)
 }
