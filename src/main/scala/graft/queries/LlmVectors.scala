@@ -46,7 +46,7 @@ object LlmVectors {
     * versions at 21× (embed_neardup) and 14× (semdedup) on 10× data.
     * The same ladder text is emitted into the DuckDB oracle, so both
     * engines always block identically. */
-  private def ladderCount(n: Long, base: Long, steps: Int): Int =
+  private[graft] def ladderCount(n: Long, base: Long, steps: Int): Int =
     (0 until steps).count(j => n > (base << j))
 
   private[graft] def ladderSql(nCol: String, base: Long, steps: Int): String =

@@ -117,6 +117,88 @@ class BenchBudgetSpec extends AnyFunSuite {
         f"$SuiteMeanCeiling%.1f in $path — per-query creep; find the new heavy tail")
   }
 
+  // -------------------------------------------------------------------
+  // sf1 scaling budget (r12 verdict task 4): the quadratic-blocking
+  // class only shows up on the 10× step — mm_phash_neardup sat at a
+  // healthy 2.3 s at sf0.1 while being 38× super-linear — so the sf0.1
+  // ceilings above are structurally blind to it. These tripwires read
+  // the newest archived sf1 scaling run alongside the newest sf0.1 run
+  // and fail on (a) a staging blowup at sf1 and (b) any shared query
+  // whose wall grew more than RatioCeiling× on 10× data, among queries
+  // big enough at sf1 for the ratio to be signal rather than
+  // fixed-overhead noise (Sf1RatioFloor).
+  // -------------------------------------------------------------------
+  private val Sf1StageCeiling = 45.0
+  private val RatioCeiling = 12.0
+  private val Sf1RatioFloor = 3.0
+
+  private def newestSf1Archived(): Option[java.io.File] = {
+    val dir = new java.io.File("tools/bench_archive")
+    val stamp = """"written_ms":([0-9]+)""".r
+    Option(dir.listFiles()).map(_.filter { f =>
+        f.getName.endsWith(".json") && {
+          val text = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          """"sf":1[,}]""".r.findFirstIn(text).isDefined
+        }
+      })
+      .filter(_.nonEmpty).map(_.maxBy { f =>
+        val text = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        (stamp.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L),
+          f.getName)
+      })
+  }
+
+  private def loadSf1Times(): (String, Seq[(String, Double)]) = {
+    val f = sys.props.get("graftBenchDetailSf1")
+      .orElse(sys.env.get("GRAFT_BENCH_DETAIL_SF1"))
+      .map(new java.io.File(_))
+      .orElse(newestSf1Archived())
+      .getOrElse(fail("no sf1 bench archive found"))
+    assume(f.exists(), s"sf1 bench detail ${f.getPath} absent")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val qBlock = text.substring(
+      text.indexOf("\"queries\":{") + "\"queries\":{".length,
+      text.indexOf("}", text.indexOf("\"queries\":{")))
+    val entry = """"([^"]+)":(-?[0-9.]+)""".r
+    val times = entry.findAllMatchIn(qBlock)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    assert(times.nonEmpty, s"no per-query timings parsed from ${f.getPath}")
+    (f.getPath, times)
+  }
+
+  test(s"$Stage staging step stays under $Sf1StageCeiling s at sf1") {
+    val (path, times) = loadSf1Times()
+    times.find(_._1 == Stage).foreach { case (_, sec) =>
+      assert(math.abs(sec) <= Sf1StageCeiling,
+        f"$Stage=${math.abs(sec)}%.1f s exceeds $Sf1StageCeiling s at sf1 " +
+          s"in $path — staging stopped scaling sublinearly")
+    }
+  }
+
+  test(f"no query grows more than $RatioCeiling%.0f× from sf0.1 to sf1 " +
+      "(super-linear scaling tripwire)") {
+    val (path01, t01) = loadTimes()
+    val (path1, t1) = loadSf1Times()
+    val base = t01.map { case (n, s) => n -> math.abs(s) }.toMap
+    val over = t1.filter { case (n, s1) =>
+      base.get(n).exists { s01 =>
+        math.abs(s1) >= Sf1RatioFloor && s01 > 0.0 &&
+          math.abs(s1) / s01 > RatioCeiling
+      }
+    }
+    assert(over.isEmpty,
+      s"super-linear sf0.1→sf1 growth (>${RatioCeiling.toInt}× on 10× " +
+        s"data; sf0.1=$path01, sf1=$path1): " +
+        over.sortBy { case (n, s) => -math.abs(s) / base(n) }
+          .map { case (n, s) =>
+            f"$n ${base(n)}%.2f→${math.abs(s)}%.1f s " +
+              f"(${math.abs(s) / base(n)}%.1f×)"
+          }.mkString(", "))
+  }
+
   private def loadMemos(): (String, Seq[(String, Double)]) = {
     val f = pickInput().getOrElse(fail("no bench detail selected"))
     assume(f.exists(), s"bench detail ${f.getPath} absent")

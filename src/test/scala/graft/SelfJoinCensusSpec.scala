@@ -1,0 +1,163 @@
+package graft
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry-wide fixed-block self-join census (the r12 verdict's task
+  * 6). The unpartitioned-Window census killed one scale-killer class;
+  * this one guards the other: a blocked self-pairing whose block key
+  * has FIXED cardinality, so its candidate mass Σ_k l_k·r_k grows like
+  * the corpus squared. Four such joins shipped healthy-looking sf0.1
+  * numbers and then measured 38×/21×/14×/13× wall growth on the 10×
+  * sf1 step — this census measures the mass curve directly at
+  * sf0.01→sf0.1 on every self-equi-join in the registry and fails
+  * the build when any join's mass outgrows its inputs, so the class
+  * can never ship silently again.
+  */
+class SelfJoinCensusSpec extends SparkTestBase {
+
+  // NOT sf0.001→sf0.01: the documents and embeddings fixtures are flat
+  // on that step (500→500 rows), which would blind the census to the
+  // near-dup class it exists to guard. On this step documents grow 10×,
+  // embeddings 4×, facts 10× — every corpus a blocked self-pairing
+  // reads moves.
+  private val sfA = "/root/testdata/sf0.01"
+  private val sfB = "/root/testdata/sf0.1"
+
+  /** Below this sf0.1 pair mass a join cannot matter at any scale the
+    * fixtures can witness — fixture-bounded relations (dim tables,
+    * vocab tables, seeded stat fixtures) live here. */
+  private val MassFloor = 100000L
+
+  /** A join's mass may grow up to Slack× faster than its larger input
+    * before it counts as super-linear: shuffles, dial steps (band
+    * widths move in integer bits) and fixture skew all wobble the
+    * ratio; a genuinely quadratic join measures ~10× over rows growth
+    * on this 10× step, far past the slack. */
+  private val Slack = 3.0
+
+  /** Key signature: the join's key expressions with literals and
+    * generated ordinals normalized away, so a corpus-size dial that
+    * changes pmod(hash(x), 16) to pmod(hash(x), 64) across scales
+    * still matches itself. */
+  private def signature(sj: SelfJoinCensus.SelfJoin): String =
+    sj.keyPairs.map(_._1.sql.replaceAll("[0-9]+", "#")).sorted
+      .mkString(" & ")
+
+  private final case class Cell(mass: Long, maxRows: Long)
+
+  /** All self-joins of one query at one scale, grouped by key
+    * signature: summed mass, max side rows. */
+  private def measureOne(name: String, dir: String): Map[String, Cell] = {
+    val sjs = SelfJoinCensus.selfJoins(SparkEntry.queries(name)(spark, dir))
+    sjs.groupBy(signature).map { case (sig, js) =>
+      val stats = js.map(SelfJoinCensus.joinStats(spark, _))
+      sig -> Cell(stats.map(_.mass).sum, stats.map(_.maxRows).max)
+    }
+  }
+
+  /** Both scales of one query, SEQUENTIALLY: side-effecting registry
+    * entries (compaction, sink roundtrips) write fixture-independent
+    * scratch paths during DataFrame construction, so evaluating the
+    * same query at two scales concurrently clobbers its own
+    * `_temporary` dirs. Cross-QUERY parallelism stays safe — scratch
+    * paths embed the query identity. */
+  private def measure(name: String)(
+      implicit ec: ExecutionContext): Future[(Map[String, Cell], Map[String, Cell])] =
+    Future { (measureOne(name, sfA), measureOne(name, sfB)) }
+
+  /** Named bounds: (query, key signature) pairs measured super-linear
+    * on this fixture step but argued bounded at scale. Every entry
+    * must carry the bound's justification; an entry that stops being
+    * flagged must be removed (the census pins exact equality). */
+  private val allow: Map[(String, String), String] = Map(
+    ) // empty: the r13 re-dials cleared the known offenders
+
+  test("no self-equi-join's candidate pair mass outgrows its inputs " +
+      "(fixed-block quadratic census, sf0.01 -> sf0.1)") {
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8))
+    val t0 = System.nanoTime()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val futures = names.map(n => n -> measure(n))
+    val perQuery = futures.map { case (n, f) =>
+      n -> Await.result(f, Duration.Inf)
+    }
+    val flagged = perQuery.flatMap { case (n, (a, b)) =>
+      // Signature fallback: a corpus-size dial can change the key's
+      // SHAPE across scales, not just its literals — llm_semdedup's
+      // sub-cell key is a constant at ≤1000 rows, so Catalyst folds it
+      // out of the join condition and the sfA plan carries only the
+      // label key. When sfB's signature is absent at sfA, compare
+      // against the query's TOTAL sfA self-join mass: an upper bound
+      // on any single join's predecessor mass, so growth is never
+      // overstated, while a join with no sfA counterpart at all still
+      // compares against Cell(0,0) and flags loudly.
+      val totalA = Cell(a.values.map(_.mass).sum,
+        a.values.map(_.maxRows).maxOption.getOrElse(0L))
+      b.toSeq.flatMap { case (sig, cb) =>
+        if (cb.mass < MassFloor) None
+        else {
+          val ca = a.getOrElse(sig, totalA)
+          val massGrowth = cb.mass.toDouble / math.max(ca.mass, 1L)
+          val rowsGrowth =
+            math.max(cb.maxRows.toDouble / math.max(ca.maxRows, 1L), 1.0)
+          if (massGrowth > Slack * rowsGrowth)
+            Some(((n, sig),
+              f"$n [$sig] mass ${ca.mass}->${cb.mass} " +
+                f"(${massGrowth}%.0fx) rows ${ca.maxRows}->${cb.maxRows} " +
+                f"(${rowsGrowth}%.1fx)"))
+          else None
+        }
+      }
+    }.toMap
+    info(f"census swept ${names.size} queries in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.0f s; " +
+      s"${perQuery.count(_._2._2.nonEmpty)} with self-joins; " +
+      s"${flagged.size} flagged")
+    val unexpected = flagged.keySet -- allow.keySet
+    val stale = allow.keySet -- flagged.keySet
+    assert(unexpected.isEmpty,
+      "self-joins with super-linear candidate mass (quadratic blocking " +
+        "— make the block key data-proportional or allowlist with a " +
+        "named bound):\n  " +
+        unexpected.toSeq.sorted.map(flagged).mkString("\n  "))
+    assert(stale.isEmpty,
+      s"allowlist entries no longer flagged — remove them: $stale")
+  }
+
+  test("census flags a fixed-block pairing (positive control: the " +
+      "pre-r13 16-bucket embed blocking shape)") {
+    import org.apache.spark.sql.functions._
+    // Rebuild the exact shape the r12 sf1 bench measured at 21x: all
+    // pairs within 16 fixed sign buckets of the embeddings table. The
+    // census must flag it — this is the red-on-offender evidence that
+    // the rule would have caught the shipped bug.
+    def blocked(dir: String): DataFrame = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), pmod(hash(col("vec_id")), lit(16)).as("b"))
+      e.as("a").join(e.as("x"),
+        col("a.b") === col("x.b") &&
+          col("a.vec_id") < col("x.vec_id"))
+    }
+    def cells(dir: String): Map[String, Cell] = {
+      val sjs = SelfJoinCensus.selfJoins(blocked(dir))
+      assert(sjs.nonEmpty, "control self-join not detected")
+      sjs.groupBy(signature).map { case (sig, js) =>
+        val stats = js.map(SelfJoinCensus.joinStats(spark, _))
+        sig -> Cell(stats.map(_.mass).sum, stats.map(_.maxRows).max)
+      }
+    }
+    val a = cells(sfA); val b = cells(sfB)
+    val hit = b.exists { case (sig, cb) =>
+      val ca = a.getOrElse(sig, Cell(0L, 0L))
+      val massGrowth = cb.mass.toDouble / math.max(ca.mass, 1L)
+      val rowsGrowth =
+        math.max(cb.maxRows.toDouble / math.max(ca.maxRows, 1L), 1.0)
+      cb.mass >= MassFloor && massGrowth > Slack * rowsGrowth
+    }
+    assert(hit, s"census missed the known-quadratic control: a=$a b=$b")
+  }
+}
