@@ -2037,12 +2037,17 @@ object LlmText {
     "llm_minhash_recall" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |tc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-         |ti AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-         |       FROM tc c JOIN sh sa ON sa.doc_id = c.doc_a
-         |                 JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
-         |       GROUP BY c.doc_a, c.doc_b),
+         |-- n_inter in ONE streamed join+aggregate: the truth side must
+         |-- consider every pair sharing >=1 shingle, and the previous
+         |-- distinct-pairs-then-rejoin shape re-expanded each candidate
+         |-- pair by its ~48 shingles twice (a ~1.5G-row intermediate at
+         |-- sf1 that exceeded the machine's entire spill disk); counting
+         |-- directly off the shingle self-join streams the hub-shingle
+         |-- fan-out through the aggregation instead of materializing it.
+         |ti AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              COUNT(*) AS n_inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
          |truth AS (SELECT doc_a, doc_b FROM ti
          |          JOIN sizes za ON za.doc_id = doc_a
          |          JOIN sizes zb ON zb.doc_id = doc_b
