@@ -202,11 +202,15 @@ object Analytics {
 
   /** TPC-H Q3 (shipping priority, adapted to the fixture schema —
     * no o_shippriority column): top-10 unshipped-revenue orders for
-    * one market segment. Plan: the filtered customer dim broadcasts
-    * into orders, lineitem's ship-date filter is pushed to the scan,
-    * and the revenue sum is decimal-pinned then rounded once — the
-    * deterministic tiebreak (revenue DESC, orderkey ASC) makes the
-    * LIMIT 10 selection identical in both engines. */
+    * one market segment. Plan: lineitem's ship-date filter is pushed
+    * to the scan, and the revenue sum is decimal-pinned then rounded
+    * once — the deterministic tiebreak (revenue DESC, orderkey ASC)
+    * makes the LIMIT 10 selection identical in both engines. The
+    * filtered customer side carries NO broadcast hint: customer grows
+    * with the scale factor, and a forced hint would pin a driver-side
+    * build of a 1.5B-row relation at the 100 TB SF; unhinted, the
+    * optimizer broadcasts it while its measured size allows and AQE
+    * demotes to a shuffle join past the threshold. */
   def q3Shipping(s: SparkSession, dir: String): DataFrame = {
     val cut = lit("1998-01-01 00:00:00").cast("timestamp")
     val c = t(s, dir, "customer")
@@ -218,7 +222,7 @@ object Analytics {
       .filter(col("l_shipdate") > cut)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 4))
         * (lit(1) - col("l_discount")).cast(DecimalType(8, 4))), 2)
@@ -230,9 +234,12 @@ object Analytics {
   }
 
   /** TPC-H Q5 (local supplier volume): revenue where the customer and
-    * supplier share a nation, restricted to one region and year. All
-    * four dimension sides broadcast; the only shuffle is the final
-    * per-nation aggregate. */
+    * supplier share a nation, restricted to one region and year. Only
+    * the nation side (constant 25 rows at every SF) keeps an explicit
+    * broadcast hint; customer and supplier GROW with the scale factor,
+    * so their join strategy is left to the optimizer — size-stat
+    * broadcast at fixture scale, AQE demotion to shuffle joins at the
+    * SFs where a forced build would OOM. */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
@@ -247,8 +254,8 @@ object Analytics {
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -259,10 +266,11 @@ object Analytics {
   }
 
   /** TPC-H Q10 (returned-item reporting): the top-20 customers by
-    * revenue lost to returns in one quarter. Same broadcast-dim star
-    * discipline as Q3/Q5; the returnflag + quarter filters reach the
-    * scans, and the LIMIT tiebreak (revenue DESC, custkey ASC) is
-    * explicit so both engines select the same rows. */
+    * revenue lost to returns in one quarter. Same dim discipline as
+    * Q3/Q5 — nation hinted (constant-size), customer unhinted
+    * (SF-growing; optimizer/AQE decides); the returnflag + quarter
+    * filters reach the scans, and the LIMIT tiebreak (revenue DESC,
+    * custkey ASC) is explicit so both engines select the same rows. */
   def q10Returns(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
@@ -275,7 +283,7 @@ object Analytics {
       .select("c_custkey", "c_name", "c_nationkey")
     val n = t(s, dir, "nation").select("n_nationkey", "n_name")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 4))

@@ -260,9 +260,12 @@ object Analytics2 {
   def aggGini(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // customer grows with the SF — no broadcast hint (a forced hint
+    // would pin a driver-side build at 100 TB); the optimizer
+    // broadcasts it while small, AQE demotes past the threshold.
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")
-        .select("c_custkey", "c_mktsegment")),
+      .join(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("x"))

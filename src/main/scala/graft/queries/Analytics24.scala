@@ -100,9 +100,11 @@ object Analytics24 {
     * while the other half stays inferred. Graded per final segment:
     * order/revenue census plus how many facts resolved late and how
     * many remain inferred — the audit a warehouse on-call reads after
-    * a late dim load. Joins are broadcast-dim equi-joins; the pattern
-    * at 100 TB is identical with the dim in a MERGE-maintained
-    * table. */
+    * a late dim load. The dim sides are UNHINTED equi-joins: customer
+    * grows with the SF, so the optimizer broadcasts the on-time/late
+    * slices while their measured size allows and shuffles past the
+    * threshold; the pattern at 100 TB is identical with the dim in a
+    * MERGE-maintained table. */
   def etlLateArrivingDim(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -111,10 +113,10 @@ object Analytics24 {
     t(s, dir, "orders")
       .select(col("o_custkey"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
-      .join(broadcast(onTime.select(col("c_custkey").as("o_custkey"),
-        col("c_mktsegment").as("seg_ontime"))), Seq("o_custkey"), "left")
-      .join(broadcast(late.select(col("c_custkey").as("o_custkey"),
-        col("c_mktsegment").as("seg_late"))), Seq("o_custkey"), "left")
+      .join(onTime.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg_ontime")), Seq("o_custkey"), "left")
+      .join(late.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg_late")), Seq("o_custkey"), "left")
       .select(
         coalesce(col("seg_ontime"), col("seg_late"), lit("UNKNOWN"))
           .as("segment"),

@@ -65,8 +65,12 @@ object Analytics5 {
     * per-brand order counts pass ~3e9, i.e. exactly the 100 TB
     * regime. */
   def aggMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    // part grows with the SF — unhinted, so the optimizer broadcasts
+    // it only while its measured size allows. (This site is behind the
+    // eager checkpoint and thus invisible to BroadcastCensusSpec —
+    // one reason the census documents that blind spot.)
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
       .distinct()
       .localCheckpoint(eager = true)

@@ -194,13 +194,16 @@ object StreamingOps {
   }
 
   /** Stream-static join: the event stream enriched against a static
-    * dimension (customers), then aggregated per nation. In streaming
-    * the static side is (re)broadcast per micro-batch — no state, no
-    * watermark needed on the dim; exactly the plan to want at scale
-    * (dim broadcast, fact streams). Money-style sums go through
-    * DECIMAL(18,4) per the determinism rules. */
+    * dimension (customers), then aggregated per nation. No state, no
+    * watermark needed on the dim side. The static side is UNHINTED:
+    * customer grows with the SF, and a forced broadcast hint would pin
+    * a per-micro-batch driver-side build of the full dim at 100 TB —
+    * unhinted, the planner broadcasts it while its measured size
+    * allows and falls back to a shuffled join past the threshold.
+    * Money-style sums go through DECIMAL(18,4) per the determinism
+    * rules. */
   def streamStaticJoin(e: DataFrame, customers: DataFrame): DataFrame =
-    e.join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+    e.join(customers.select(col("c_custkey"), col("c_nationkey")),
         e("user_id") === col("c_custkey"))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_events"),
@@ -212,16 +215,20 @@ object StreamingOps {
     * action, same payload ⇒ duplicate delivery, dropped. The join is
     * stream-static LEFT OUTER + null-check (the anti-join shape
     * Structured Streaming actually supports against a static side);
-    * the static digest set broadcasts per micro-batch, so the stream
-    * holds NO state for it — this is the streaming twin of
-    * [[graft.queries.LlmText.incrementalDedup]]'s exact layer. */
+    * the stream holds NO state for the digest set — this is the
+    * streaming twin of [[graft.queries.LlmText.incrementalDedup]]'s
+    * exact layer. The digest side is UNHINTED: the seen-history GROWS
+    * with ingested volume (the census measured it 10× on the fixture
+    * step), so a forced broadcast is a deferred per-micro-batch OOM;
+    * unhinted, the planner broadcasts while small and shuffles once
+    * the history outgrows the threshold. */
   def streamAntiDedup(e: DataFrame, seen: DataFrame): DataFrame = {
     def dg = md5(concat_ws("|",
       col("user_id"), col("event_type"), col("props")))
     val seenD = seen.filter(col("event_id") % 5 === 0)
       .select(dg.as("seen_digest")).distinct()
     val in = e.filter(col("event_id") % 5 =!= 0).withColumn("digest", dg)
-    in.join(broadcast(seenD), col("digest") === col("seen_digest"),
+    in.join(seenD, col("digest") === col("seen_digest"),
         "left_outer")
       .withColumn("is_dup", col("seen_digest").isNotNull)
       .groupBy("event_type")
