@@ -44,20 +44,25 @@ object ScaleOps {
     * the bucketed tables. With matching bucket counts Spark plans a
     * sort-merge join with no Exchange on either side: the shuffle is
     * paid once at layout time, then amortized over every future join.
-    * coalesce(1) before the bucketed write yields one file per bucket,
-    * which also lets the scan reuse the on-disk sort order. */
+    * repartition(buckets, key) before the write aligns the task
+    * partitioning with the bucket hash (both are Murmur3 pmod n), so
+    * each task holds exactly one bucket and writes exactly one file —
+    * the same one-file-per-bucket layout a coalesce(1) would give,
+    * but written by `buckets` tasks in parallel instead of one task
+    * funneling the whole table (the 100 TB difference between a
+    * layout job and a stalled pipeline). */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     val tmp = sys.props("java.io.tmpdir")
     t(s, dir, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      .coalesce(1)
+      .repartition(buckets, col("o_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$tmp/graft_bkt_orders")
       .saveAsTable("graft_bkt_orders")
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
-      .coalesce(1)
+      .repartition(buckets, col("l_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$tmp/graft_bkt_lineitem")
@@ -295,7 +300,7 @@ object ScaleOps {
     val tmp = sys.props("java.io.tmpdir")
     t(s, dir, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      .coalesce(1)
+      .repartition(buckets, col("o_orderkey")) // distributed one-file-per-bucket (see joinBucketed)
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$tmp/graft_bkt_probe")
@@ -323,7 +328,10 @@ object ScaleOps {
     val tmp = sys.props("java.io.tmpdir")
     t(s, dir, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
-      .coalesce(1)
+      // distributed layout write: each of the `buckets` tasks holds one
+      // bucket across all partition dirs -> one file per (priority,
+      // bucket), no single-task funnel (see joinBucketed)
+      .repartition(buckets, col("o_orderkey"))
       .write.mode("overwrite").format("parquet")
       .partitionBy("o_orderpriority")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
