@@ -480,14 +480,23 @@ object Analytics11 {
     * (DECIMAL sums, checkpointed); everything after is O(days).
     * Spark's 1-based dayofweek is aligned to DuckDB's 0-based as in
     * [[Analytics8.aggSeasonality]]; the census text is shared, with
-    * only the date-format spelling parameterized. */
+    * only the date-format spelling parameterized.
+    *
+    * Determinism: EVERY cross-row accumulation stays DECIMAL (exact,
+    * association-order-free — a double window sum differs between
+    * Spark's frame scan and DuckDB's segment tree, and a double
+    * per-dow AVG varies with Spark's own partial-merge order; the sf1
+    * gate caught a resid whose round-6 digit flipped on exactly that
+    * wobble). Doubles appear only where both engines hold bit-identical
+    * operands: trend = exact 7-day decimal sum cast once, seasonal =
+    * exact decimal sum of the (identical-double) detrended values cast
+    * once over an integer count, resid = three identical doubles. */
   def winSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_sd_orders")
     s.sql(
       """SELECT CAST(o_orderdate AS DATE) AS d,
         |       dayofweek(CAST(o_orderdate AS DATE)) - 1 AS dow,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
-        |         AS rev
+        |       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS rev_d
         |FROM graft_sd_orders GROUP BY 1, 2""".stripMargin)
       .localCheckpoint(eager = true)
       .createOrReplaceTempView("graft_sd_daily")
@@ -496,13 +505,16 @@ object Analytics11 {
   }
 
   private def decomposeCensus(daily: String, dateStr: String): String =
-    s"""tr AS (SELECT d, dow, rev,
+    s"""tr AS (SELECT d, dow, CAST(rev_d AS DOUBLE) AS rev,
        |         CASE WHEN COUNT(*) OVER w7 = 7
-       |              THEN SUM(rev) OVER w7 / 7 END AS trend
+       |              THEN CAST(SUM(rev_d) OVER w7 AS DOUBLE) / 7
+       |         END AS trend
        |       FROM $daily
        |       WINDOW w7 AS (ORDER BY d
        |                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-       |se AS (SELECT dow, AVG(rev - trend) AS seasonal
+       |se AS (SELECT dow,
+       |         CAST(SUM(CAST(rev - trend AS DECIMAL(28, 10))) AS DOUBLE)
+       |           / COUNT(*) AS seasonal
        |       FROM tr WHERE trend IS NOT NULL GROUP BY dow)
        |SELECT $dateStr AS day, rev, trend, se.seasonal,
        |  CASE WHEN trend IS NOT NULL
@@ -546,8 +558,7 @@ object Analytics11 {
     "win_seasonal_decompose" ->
       ("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
          |                 dayofweek(CAST(o_orderdate AS DATE)) AS dow,
-         |                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
-         |                      AS DOUBLE) AS rev
+         |                 SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS rev_d
          |               FROM orders GROUP BY 1, 2),
          |""".stripMargin +
         decomposeCensus("daily", "strftime(d, '%Y-%m-%d')")),
