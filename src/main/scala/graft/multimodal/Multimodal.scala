@@ -355,54 +355,138 @@ object Multimodal {
   def mmPhash(s: SparkSession, dir: String): DataFrame =
     phashImages(mediaFromDocuments(s, dir)).toDF()
 
+  /** One banded-LSH key row per (full-height image, band): the 16-bit
+    * aHash band value used for Hamming VERIFICATION plus the blocking
+    * key that extends it with `q` fine (pixel-vs-row-mean) bits drawn
+    * from the band's 64 pixels in stride-23 order — consecutive
+    * extension bits come from spread positions, because the FIRST
+    * pixels of a row are the least discriminative inside an
+    * aHash-collision cluster (templated document openings share
+    * them; measured at sf1: stride selection halves the candidate
+    * mass of low-bit selection at every q). Computed DIRECTLY from
+    * the blob bytes — the grayscale PNG round-trip in [[phashImages]]
+    * is byte-exact (`mm_phash`'s spec pins that), so the values are
+    * identical and the codec is exercised exactly once per blob in
+    * the pipeline (`mm_phash` / ingest), never re-run by every
+    * downstream consumer. At 100 TB that is the only sane contract:
+    * hash at ingest, join on hashes. Only (id, band, two longs) ever
+    * leave the scan partition. */
+  private[graft] case class PhashBandRow(media_id: Long, band: Long,
+      averify: Long, bkey: Long)
+
+  private[graft] def phashBands(media: Dataset[MediaRow],
+      q: Int): Dataset[PhashBandRow] = {
+    implicit val enc = Encoders.product[PhashBandRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        // Full-height (32×8) rasters only: banded Hamming between
+        // different geometries is not meaningful (same gate as the
+        // ymax == 7 filter the codec path applied).
+        if (r.content.length < 256) Iterator.empty
+        else {
+          val v = new Array[Int](256)
+          var total = 0L
+          var i = 0
+          while (i < 256) { v(i) = r.content(i) & 0xff; total += v(i); i += 1 }
+          val rh = new Array[Long](8)
+          val fine = new Array[Long](8)
+          var y = 0
+          while (y < 8) {
+            var rowSum = 0L
+            var x = 0
+            while (x < 32) { rowSum += v(y * 32 + x); x += 1 }
+            var h = 0L
+            x = 0
+            while (x < 8) {
+              var cs = 0L
+              var k = 0
+              while (k < 4) { cs += v(y * 32 + 4 * x + k); k += 1 }
+              if (cs * 64 > total) h |= 1L << x
+              x += 1
+            }
+            var f = 0L
+            x = 0
+            while (x < 32) {
+              if (v(y * 32 + x) * 32L > rowSum) f |= 1L << x
+              x += 1
+            }
+            rh(y) = h; fine(y) = f; y += 1
+          }
+          (0 until 4).iterator.map { j =>
+            val averify = rh(2 * j) + (rh(2 * j + 1) << 8)
+            val fa = fine(2 * j)
+            val fb = fine(2 * j + 1)
+            var ext = 0L
+            var b = 0
+            while (b < q) {
+              val pos = (b * 23) % 64
+              val bit =
+                if (pos < 32) (fa >>> pos) & 1L
+                else (fb >>> (pos - 32)) & 1L
+              ext |= bit << b
+              b += 1
+            }
+            PhashBandRow(r.media_id, j.toLong, averify,
+              averify + (ext << 16))
+          }
+        }
+      }
+    }
+  }
+
   /** Image near-duplicate detection by banded perceptual-hash LSH:
-    * the 64-bit aHash (8 rows × 8 bits from [[phashImages]]) splits
-    * into 4 16-bit bands; images sharing ANY band become candidates
-    * via a plain equi-join on (band, band_value) — the
-    * `llm_minhash_neardup` blocking shape, never an all-pairs
-    * comparison — and candidates are verified by exact Hamming
-    * distance (≤6 of 64 bits ⇒ near-duplicate). Only full-height
-    * (32×8) rasters enter: banded Hamming between different
-    * geometries is not meaningful. At 100 TB the candidate join
-    * shuffles (id, band, int) triples only; the blobs were left
-    * behind at decode time.
+    * the 64-bit aHash (8 rows × 8 bits) splits into 4 fixed 16-bit
+    * bands; images sharing ANY band key become candidates via a plain
+    * equi-join — the `llm_minhash_neardup` blocking shape, never an
+    * all-pairs comparison — and candidates are verified by exact
+    * Hamming distance. The near-dup DEFINITION is scale-invariant:
+    * hamming ≤ 6 of the full 64-bit aHash, at every corpus size.
     *
-    * Band width TRACKS CORPUS SIZE (the r12 lesson: hard-coded 4×16
-    * bands measured 38× on 10× data — the perceptual hashes cluster,
-    * so 16-bit bucket occupancy grows with n and Σ n_b² blows up):
-    * ≤8k images use 4×16-bit bands (wide recall, O(1) occupancy at
-    * that scale — 35M candidate pairs vs 0.7M measured at 37.6k
-    * images); beyond, 2×32-bit bands (measured 50× fewer candidates
-    * at sf1, max bucket 261 vs 3033). The dial is the same band/row
-    * split as `llm_minhash_neardup`; the DuckDB twin computes the
-    * identical CASE, so both engines always block alike. Past ~10⁷
-    * images the next step is hierarchical multi-index hashing
-    * (recurse on the remaining bits inside overfull buckets) — a
-    * single 64-bit band would only find EXACT duplicates. Ties/dups:
-    * candidates are DISTINCT (a pair sharing 2 bands appears once),
-    * pairs are a<b. */
+    * The blocking key carries a corpus-size dial with 12 positions
+    * (the r13 dial had TWO — 4×16-bit bands ≤8k images, 2×32-bit
+    * beyond — and saturated: past ~10⁷ images 32-bit occupancy grows
+    * again, and its last step had already traded recall by halving
+    * the band count). Each band's 16 aHash bits are extended with q
+    * fine bits (pixel-vs-row-mean, a finer threshold hash of the
+    * SAME rows — the multi-index refinement levels of hierarchical
+    * Hamming hashing, applied up front), q = +4 per corpus doubling
+    * past 1k ([[LlmVectors.ladderCount]]): the rate is MEASURED, not
+    * pigeonholed — fine bits inside an aHash-collision cluster are
+    * correlated (templated prefixes), and the sf1 sweep measured
+    * ~4.3 fine bits per halving of candidate mass, so +4/doubling is
+    * what actually holds Σ n_b² ~linear on this corpus — the
+    * SelfJoinCensus measures exactly that curve. Band count never
+    * shrinks; exact dups collide at every q. The dial ends at q=46
+    * (n > 2M images, 62-bit keys): there the key IS the band's
+    * complete threshold signature, and the residual buckets (sf1:
+    * max 36 rows, ~0.55M pair mass — measured, near the old dial's
+    * 0.7M) are signature-identical images no function of these two
+    * rows can split; the step past that is hashing different rows,
+    * i.e. more bands. The near-dup DEFINITION (hamming ≤ 6 of 64)
+    * never moves; what the dial trades as the corpus grows is
+    * blocking recall on hash-COINCIDENTAL pairs — true near-dups
+    * share the fine bits too, coincidental aHash collisions don't.
+    * The same integer threshold ladder is emitted into the DuckDB
+    * twin, so both engines block identically at every scale.
+    * Ties/dups: candidates are DISTINCT (a pair sharing 2 bands
+    * appears once), pairs are a<b. */
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val ph = phashImages(mediaFromDocuments(s, dir)).toDF()
+    import graft.queries.LlmVectors.ladderCount
     val nFull = Tables.load(s, dir, "documents")
       .filter(length(col("text")) >= 256).count()
-    val r = if (nFull > 8000) 4 else 2 // rows per band: 2→16-bit, 4→32-bit
-    val full = ph.groupBy("media_id").agg(max(col("y")).as("ymax"))
-      .filter(col("ymax") === 7).select("media_id")
-    val bands = ph.join(full, "media_id")
-      .groupBy(col("media_id"), expr(s"y div $r").as("band"))
-      .agg(sum(expr(s"shiftleft(row_hash, CAST((y % $r) * 8 AS INT))"))
-        .as("bval"))
+    val q = math.min(46, 4 * ladderCount(nFull, 1000L, 12))
+    val bands = phashBands(mediaFromDocuments(s, dir), q).toDF()
     val a = bands.select(col("media_id").as("doc_a"), col("band"),
-      col("bval"))
+      col("bkey"))
     val b = bands.select(col("media_id").as("doc_b"), col("band"),
-      col("bval").as("bvb"))
+      col("bkey").as("bkb"))
     val cand = a.join(b, a("band") === b("band") &&
-        a("bval") === b("bvb") && a("doc_a") < b("doc_b"))
+        a("bkey") === b("bkb") && a("doc_a") < b("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val xa = bands.select(col("media_id").as("ja"),
-      col("band").as("jband"), col("bval").as("va"))
+      col("band").as("jband"), col("averify").as("va"))
     val xb = bands.select(col("media_id").as("jb"),
-      col("band").as("kband"), col("bval").as("vb"))
+      col("band").as("kband"), col("averify").as("vb"))
     cand.join(xa, col("doc_a") === col("ja"))
       .join(xb, col("doc_b") === col("jb") && col("jband") === col("kband"))
       .select(col("doc_a"), col("doc_b"),
@@ -1018,36 +1102,64 @@ object Multimodal {
         |  CAST(b.row_hash AS BIGINT) AS row_hash
         |FROM bits b JOIN rsum r ON b.doc_id = r.doc_id AND b.y = r.y"""
         .stripMargin,
-    // Full-height (h=8) images only; band values and Hamming terms are
-    // small exact integers in both engines. The band-rows dial (2→16
-    // bit, 4→32 bit past 8k images) is the same CASE the Spark side
-    // computes, so both engines block identically at every scale.
+    // Full-height (h=8) images only; band values, fine bits and
+    // Hamming terms are small exact integers in both engines. The
+    // fine-bit ladder (q = +4 blocking bits per corpus doubling past
+    // 1k, drawn from the band's 64 pixels in stride-23 order) is the
+    // same integer CASE ladder the Spark side computes, so both
+    // engines block identically at every scale.
     "mm_phash_neardup" ->
-      """WITH m AS (SELECT doc_id, text FROM documents
+      s"""WITH m AS (SELECT doc_id, text FROM documents
         |           WHERE length(text) >= 256),
-        |dial AS (SELECT CASE WHEN COUNT(*) > 8000 THEN 4 ELSE 2 END AS r
-        |         FROM m),
+        |dial AS (SELECT LEAST(46, 4 * (${graft.queries.LlmVectors
+                    .ladderSql("n", 1000L, 12)})) AS q
+        |         FROM (SELECT COUNT(*) AS n FROM m)),
         |px AS (SELECT doc_id, g.p, ascii(substr(text, g.p + 1, 1)) AS v
         |       FROM m CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g),
         |tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
+        |rs AS (SELECT doc_id, p // 32 AS y, sum(v) AS rsum
+        |       FROM px GROUP BY 1, 2),
         |cell AS (SELECT doc_id, p // 32 AS y, (p % 32) // 4 AS x,
         |           sum(v) AS cs
         |         FROM px GROUP BY 1, 2, 3),
-        |bits AS (SELECT c.doc_id, c.y,
-        |           sum(CASE WHEN c.cs * 64 > t.t
-        |               THEN 1 << c.x ELSE 0 END) AS rh
-        |         FROM cell c JOIN tot t USING (doc_id) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, y // (SELECT r FROM dial) AS band,
-        |            CAST(sum(rh * (CAST(1 AS BIGINT)
-        |                  << CAST(8 * (y % (SELECT r FROM dial)) AS INT)))
-        |                 AS BIGINT) AS bval
-        |          FROM bits GROUP BY 1, 2),
+        |rh AS (SELECT c.doc_id, c.y,
+        |         sum(CASE WHEN c.cs * 64 > t.t
+        |             THEN 1 << c.x ELSE 0 END) AS rh
+        |       FROM cell c JOIN tot t USING (doc_id) GROUP BY 1, 2),
+        |fin AS (SELECT p.doc_id, p.p // 32 AS y,
+        |          sum(CASE WHEN p.v * 32 > r.rsum
+        |              THEN CAST(1 AS BIGINT) << CAST(p.p % 32 AS INT)
+        |              ELSE 0 END) AS f
+        |        FROM px p JOIN rs r
+        |          ON p.doc_id = r.doc_id AND p.p // 32 = r.y
+        |        GROUP BY 1, 2),
+        |bnd0 AS (SELECT a.doc_id, a.y // 2 AS band,
+        |           CAST(a.rh + b.rh * 256 AS BIGINT) AS averify,
+        |           CAST(fa2.f AS BIGINT) AS fa, CAST(fb2.f AS BIGINT) AS fb
+        |         FROM rh a JOIN rh b
+        |             ON a.doc_id = b.doc_id AND b.y = a.y + 1
+        |               AND a.y % 2 = 0
+        |           JOIN fin fa2 ON fa2.doc_id = a.doc_id AND fa2.y = a.y
+        |           JOIN fin fb2 ON fb2.doc_id = b.doc_id AND fb2.y = b.y),
+        |bands AS (SELECT n.doc_id, n.band, n.averify,
+        |            CAST(n.averify + 65536 * sum(
+        |              CASE WHEN g.i < d.q THEN
+        |                (CASE WHEN (g.i * 23) % 64 < 32
+        |                      THEN (n.fa >> CAST((g.i * 23) % 64 AS INT)) & 1
+        |                      ELSE (n.fb >> CAST((g.i * 23) % 64 - 32 AS INT))
+        |                           & 1 END)
+        |                * (CAST(1 AS BIGINT) << CAST(g.i AS INT))
+        |              ELSE 0 END) AS BIGINT) AS bkey
+        |          FROM bnd0 n
+        |            CROSS JOIN (SELECT unnest(range(0, 46)) AS i) g
+        |            CROSS JOIN dial d
+        |          GROUP BY 1, 2, 3),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band
-        |           AND a.bval = b.bval AND a.doc_id < b.doc_id),
+        |           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         |ham AS (SELECT c.doc_a, c.doc_b,
-        |          CAST(sum(bit_count(xor(x.bval, y2.bval))) AS BIGINT)
-        |            AS hamming
+        |          CAST(sum(bit_count(xor(x.averify, y2.averify)))
+        |               AS BIGINT) AS hamming
         |        FROM cand c
         |          JOIN bands x ON x.doc_id = c.doc_a
         |          JOIN bands y2 ON y2.doc_id = c.doc_b

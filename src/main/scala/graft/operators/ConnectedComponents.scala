@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.CkptTap._
 
 /** Connected components via the alternating large-star / small-star
   * algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -60,7 +61,7 @@ object ConnectedComponents {
   /** @param edges two LONG columns (src, dst), undirected, self-loops
     *              ignored.
     * @param checkpointDir when set, per-round state is truncated via
-    *        RELIABLE `df.checkpoint()` into this directory instead of
+    *        RELIABLE `df.tappedCheckpoint()` into this directory instead of
     *        executor-local `localCheckpoint()`. localCheckpoint blocks
     *        live only on executors: at 100 TB an executor loss
     *        mid-iteration loses blocks with NO recompute path (lineage
@@ -76,8 +77,8 @@ object ConnectedComponents {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
+        df => df.tappedCheckpoint()
+      case None => df => df.tappedLocalCheckpoint()
     }
     val nodes = ckpt(edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct())

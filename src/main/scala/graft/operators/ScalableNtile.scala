@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.CkptTap._
 
 /** Exact global ranking (row_number / rank / ntile) without a
   * corpus-sized single-task window.
@@ -348,7 +349,7 @@ object ScalableNtile {
         .select(keys.map(col) :+
           (col(sLo) + col(bC) * (col(sW) / G2)).as("__gnt_nlo") :+
           (col(sW) / G2).as("__gnt_nw") :+ col("__gnt_abs").as("__gnt_noff"): _*)
-        .localCheckpoint(true)
+        .tappedLocalCheckpoint()
       cand = c.join(broadcast(sel), keys)
         .select(col(ordC), col("__gnt_nlo").as(sLo),
           col("__gnt_nw").as(sW), col("__gnt_noff").as(sOff))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 widening: three operators still genuinely absent after the
   * 260-query surface — a Gopher-style document quality-rule census
@@ -130,7 +131,7 @@ object Analytics10 {
       // mostly-empty ones. At a real-graph scale the coalesce factor
       // would follow |edges| (the ConnectedComponents cutover rule).
       .coalesce(1)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
   }
 
   /** 4 synchronous LPA rounds over a symmetrized edge list; returns
@@ -153,7 +154,7 @@ object Analytics10 {
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .coalesce(1)
-        .localCheckpoint(eager = true)
+        .tappedLocalCheckpoint()
       val mx = cnts.groupBy(col("src")).agg(max(col("cnt")).as("mx"))
       lab = cnts.join(mx, "src")
         .filter(col("cnt") === col("mx"))
@@ -161,7 +162,7 @@ object Analytics10 {
         .agg(min(col("label")).as("label"))
         .withColumnRenamed("src", "nk")
     }
-    lab.coalesce(1).localCheckpoint(eager = true)
+    lab.coalesce(1).tappedLocalCheckpoint()
   }
 
   // ---------------------------------------------------------------------

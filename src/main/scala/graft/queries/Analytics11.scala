@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-2 widening: corpus-curation and graph-census
   * operators still absent from the 264-query surface.
@@ -200,18 +201,18 @@ object Analytics11 {
         |SELECT a AS src, b AS dst FROM edges
         |UNION ALL SELECT b, a FROM edges""".stripMargin)
       .coalesce(1)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     def coreDeg(alive: DataFrame): DataFrame =
       sym.join(alive.withColumnRenamed("nk", "src"), "src")
         .join(alive.withColumnRenamed("nk", "dst"), "dst")
         .groupBy("src").agg(count(lit(1)).as("d"))
     var alive = sym.select(col("src").as("nk")).distinct()
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
     for (_ <- 1 to 8) {
       alive = coreDeg(alive)
         .filter(col("d") >= 4)
         .select(col("src").as("nk"))
-        .coalesce(1).localCheckpoint(eager = true)
+        .coalesce(1).tappedLocalCheckpoint()
     }
     coreDeg(alive).select(col("src").cast("long").as("nk"),
       col("d").cast("long").as("deg"))
@@ -366,7 +367,7 @@ object Analytics11 {
         |SELECT a AS src, b AS dst FROM edges
         |UNION ALL SELECT b, a FROM edges""".stripMargin)
       .coalesce(1)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     var frontier = sym.select(col("src"), col("dst").as("v"),
       lit(1).as("d"))
     var dist = frontier
@@ -498,7 +499,7 @@ object Analytics11 {
         |       dayofweek(CAST(o_orderdate AS DATE)) - 1 AS dow,
         |       SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS rev_d
         |FROM graft_sd_orders GROUP BY 1, 2""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_sd_daily")
     s.sql("WITH " + decomposeCensus("graft_sd_daily",
       "date_format(d, 'yyyy-MM-dd')"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-4 widening: econometric diagnostics, tokenizer
   * training, privacy release, link prediction, and two Spark-surface
@@ -101,7 +102,7 @@ object Analytics12 {
   def winRollingBeta(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_beta_orders")
     s.sql(monthlySql("graft_beta_orders"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_beta_monthly")
     s.sql(rollingBetaRestSql("graft_beta_monthly"))
   }
@@ -204,7 +205,7 @@ object Analytics12 {
   def aggCointegration(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_coint_orders")
     s.sql(cointDailySql("graft_coint_orders"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_coint_daily")
     s.sql(cointRestSql("graft_coint_daily"))
   }
@@ -240,7 +241,7 @@ object Analytics12 {
       tag: String): String = {
     t(s, dir, "events").createOrReplaceTempView(s"graft_${tag}_events")
     s.sql(acfDailySql(s"graft_${tag}_events"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView(s"graft_${tag}_daily")
     s"graft_${tag}_daily"
   }
@@ -535,7 +536,7 @@ object Analytics12 {
     s.sql(aaEdgesSql("graft_aa_lineitem", "graft_aa_orders",
         "graft_aa_customer", "graft_aa_supplier", ""))
       .coalesce(1)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_aa_edges")
     s.sql(aaScoreSql("graft_aa_edges", "graft_aa_nation", ""))
   }

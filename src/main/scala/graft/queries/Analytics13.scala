@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-4 batch B: finance-ML transforms, heavy-tail and
   * rank statistics, tokenizer application, and information-theoretic
@@ -76,7 +77,7 @@ object Analytics13 {
   def winFracDiff(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_fd_orders")
     s.sql(dailyDollarsSql("graft_fd_orders"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_fd_daily")
     s.sql(fracDiffSql("graft_fd_daily"))
   }
@@ -162,7 +163,7 @@ object Analytics13 {
          |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          |  GROUP BY 1, 2)
          |${tauJoinedSql("daily")}""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_tau_joined")
     s.sql(tauRestSql("graft_tau_joined"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-4 batch D: spectral analysis, sampled graph
   * walks, channel breakouts, keyword extraction, and CDC merge.
@@ -100,16 +101,16 @@ object Analytics15 {
     s.sql(pcaGramSql(
         """SELECT vec_id, i, CAST(element_at(embedding, i) AS DOUBLE) AS x
           |FROM graft_pca_emb LATERAL VIEW explode(sequence(1, 16)) t AS i""".stripMargin))
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_pca_g")
     s.sql("SELECT DISTINCT i, 1.0 AS x FROM graft_pca_g")
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_pca_v")
     // Each iterate is a 16-row relation; checkpointing it keeps every
     // round's plan two tiny joins deep instead of doubling.
     for (_ <- 1 to 8) {
       s.sql(pcaRoundSql("graft_pca_g", "graft_pca_v"))
-        .coalesce(1).localCheckpoint(eager = true)
+        .coalesce(1).tappedLocalCheckpoint()
         .createOrReplaceTempView("graft_pca_v")
     }
     s.sql(pcaFinalSql("graft_pca_g", "graft_pca_v"))
@@ -169,7 +170,7 @@ object Analytics15 {
     t(s, dir, "events").createOrReplaceTempView("graft_rw_events")
     s.sql(walkEdgesSql("graft_rw_events",
         "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_rw_edges")
     s.sql(walkSql("graft_rw_edges"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-4 batch E: the Ichimoku technical system, tail
   * risk, distributional co-occurrence, and structural-break
@@ -178,7 +179,7 @@ object Analytics16 {
   def aggBinsegSplit(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_bs_orders")
     s.sql(binsegDailySql("graft_bs_orders"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_bs_daily")
     s.sql(binsegSql("graft_bs_daily"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-4 batch F: nonparametric trend, operational
   * freshness, and contrastive mining.
@@ -68,7 +69,7 @@ object Analytics17 {
   def aggMannKendall(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_mk_orders")
     s.sql(mkDailySql("graft_mk_orders"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_mk_daily")
     s.sql(mkRestSql("graft_mk_daily"))
   }

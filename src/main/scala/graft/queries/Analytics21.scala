@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-10 session-4 batch J: smoothed candles, absorption
   * probabilities, and exact randomization inference.
@@ -62,7 +63,7 @@ object Analytics21 {
   def winHeikinAshi(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").createOrReplaceTempView("graft_ha_events")
     s.sql(haBarsSql("graft_ha_events"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_ha_bars")
     s.sql(
       """WITH g AS (SELECT user_id,
@@ -135,17 +136,17 @@ object Analytics21 {
         |              PARTITION BY user_id ORDER BY ts, event_id) AS nxt
         |            FROM graft_hp_events) e
         |      WHERE nxt IS NOT NULL GROUP BY 1, 2) c""".stripMargin)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_hp_edges")
     s.sql("""SELECT DISTINCT src AS event_type,
             |  CASE WHEN src = 'purchase' THEN 1.0D ELSE 0.0D END AS p
             |FROM graft_hp_edges""".stripMargin)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_hp_h")
     var p4: DataFrame = null
     for (k <- 1 to 8) {
       val next = s.sql(hitRoundSql("graft_hp_edges", "graft_hp_h"))
-        .coalesce(1).localCheckpoint(eager = true)
+        .coalesce(1).tappedLocalCheckpoint()
       next.createOrReplaceTempView("graft_hp_h")
       if (k == 4) {
         p4 = next

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-11 batch E: robust location, the transaction-log table
   * pattern, and HMM regime filtering.
@@ -120,7 +121,7 @@ object Analytics25 {
     val sc = m0.join(mad, "f")
       .select(col("f"), col("mu").as("med"), col("mad"),
         (lit(2) * col("mad")).cast(DecimalType(18, 4)).as("c"))
-      .localCheckpoint(true)
+      .tappedLocalCheckpoint()
     var mu = sc.select(col("f"), col("med").as("mu"))
     for (_ <- 1 to 3) {
       val w = when(col("c") === 0 ||
@@ -135,7 +136,7 @@ object Analytics25 {
         .groupBy("f")
         .agg(round(sum(col("x") * col("w")).cast("double") /
           sum("w").cast("double"), 4).cast(DecimalType(18, 4)).as("mu"))
-        .localCheckpoint(true)
+        .tappedLocalCheckpoint()
     }
     val n = x.groupBy("f").agg(count(lit(1)).as("n"))
     sc.join(mu, "f").join(n, "f")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-11 batch F: path-census centrality and wavelet energy.
   *
@@ -57,7 +58,7 @@ object Analytics26 {
     val dist = walks.groupBy("s", "t").agg(min("len").as("d"))
     val sp = walks.join(dist, Seq("s", "t"))
       .filter(col("len") === col("d") && col("s") =!= col("t"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val sigma = sp.groupBy("s", "t").agg(count(lit(1)).as("sig"))
     val through = sp.select(col("s"), col("t"), explode(col("via")).as("v"))
       .groupBy("s", "t", "v").agg(count(lit(1)).as("sigv"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-11 batch H: reader-level robustness and the data-quality
   * expectation suite.
@@ -75,7 +76,7 @@ object Analytics28 {
           .cast("double").as("good_total"))
         // materialize before unpersist: the graded frame must not
         // depend on the cache after this method returns
-        .localCheckpoint(eager = true)
+        .tappedLocalCheckpoint()
     } finally { raw.unpersist(); () }
   }
 

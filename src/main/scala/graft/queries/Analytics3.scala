@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening: the algebra/analytics long tail that was still
   * genuinely missing after 209 queries — an explicit cross join, a
@@ -79,9 +80,9 @@ object Analytics3 {
       .agg(count(lit(1)).cast("double").as("cnt"))
       .withColumn("wt", col("cnt") / sum(col("cnt")).over(Window.partitionBy("src")))
       .select("src", "dst", "wt")
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val nodes = ev.select(col("event_type").as("node")).distinct()
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val n = nodes.count().toDouble
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to 10) {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.plans.GraftFunctions
+import graft.core.CkptTap._
 
 /** Round-11 batch L: retrieval-quality evaluation and ranking-model
   * fitting for the LLM-curation surface, plus the GROUP BY ALL SQL
@@ -58,7 +59,7 @@ object Analytics32 {
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("vec_id"))
     }
-    val exact = top3(None).localCheckpoint(eager = true)
+    val exact = top3(None).tappedLocalCheckpoint()
     def eval(d: Int): DataFrame = {
       val hits = exact.join(top3(Some(d)), Seq("q_id", "vec_id"),
         "left_semi").agg(count(lit(1)).as("n_hits"))
@@ -191,21 +192,21 @@ object Analytics32 {
     t(s, dir, "documents").createOrReplaceTempView("graft_bt_docs")
     s.sql("WITH " + btCensusCtes("graft_bt_docs", "DIV") + "\n"
         + btCensusSelect)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_bt_m0")
     s.sql(
       """SELECT si AS i, sj AS j, n, w FROM graft_bt_m0
         |UNION ALL SELECT sj, si, n, n - w FROM graft_bt_m0""".stripMargin)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_bt_edges")
     s.sql(
       """SELECT i, CAST(sum(n) AS BIGINT) AS n_comp,
         |  CAST(sum(w) AS BIGINT) AS wins
         |FROM graft_bt_edges GROUP BY i""".stripMargin)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_bt_wtot")
     s.sql("SELECT i, CAST(1.0 AS DOUBLE) AS p FROM graft_bt_wtot")
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_bt_p0")
     (1 to 3).foreach { t =>
       s.sql(
@@ -221,7 +222,7 @@ object Analytics32 {
            |SELECT i, (wins / denom) * k.k
            |    / (SELECT sum(wins / denom) FROM r) AS p
            |FROM r CROSS JOIN k""".stripMargin)
-        .coalesce(1).localCheckpoint(eager = true)
+        .coalesce(1).tappedLocalCheckpoint()
         .createOrReplaceTempView(s"graft_bt_p$t")
     }
     s.sql(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-11 batch M: directed-graph components, stratified causal
   * estimation, and subword tokenization.
@@ -65,14 +66,14 @@ object Analytics33 {
       .foreach(n => t(s, dir, n)
         .createOrReplaceTempView("graft_scc_" + n))
     var reach = s.sql(dirEdgeSql("graft_scc_"))
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
     for (_ <- 1 to 5) {
       reach = reach.alias("a")
         .join(reach.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .union(reach)
         .distinct()
-        .coalesce(1).localCheckpoint(eager = true)
+        .coalesce(1).tappedLocalCheckpoint()
     }
     val nodes = t(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("v"))
@@ -201,7 +202,7 @@ object Analytics33 {
       .agg(count(lit(1)).cast("long").as("n_users"),
         (sum(coalesce(col("sv"), lit(0))).cast("double") /
           sum(coalesce(col("n"), lit(0L)))).as("mean_post"))
-      .localCheckpoint(true)
+      .tappedLocalCheckpoint()
     val tc = cell.filter(col("treat") === 1)
       .select(col("stratum"), col("n_users").as("n_treat"),
         col("mean_post").as("mean_treat"))
@@ -290,11 +291,11 @@ object Analytics33 {
     t(s, dir, "documents").createOrReplaceTempView("graft_wp_docs")
     s.sql("WITH tok AS (SELECT explode(split(text, ' ')) AS w "
         + "FROM graft_wp_docs)\n" + wpWordsSelect("tok"))
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_wp_words")
     s.sql("WITH " + wpVocabCtes("graft_wp_words", sparkLat) + "\n"
         + wpVocabSelect)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_wp_vocab")
     s.sql("WITH " + wpFitSql("graft_wp_words", "graft_wp_vocab",
       sparkLat))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.plans.GraftFunctions
+import graft.core.CkptTap._
 
 /** Round-11 batch N: ML-ops drift monitoring, the write-audit-publish
   * warehouse protocol, diversity re-ranking, and symbolic series
@@ -166,7 +167,7 @@ object Analytics34 {
       .select(col("q_id"), col("vec_id"), col("embedding"),
         GraftFunctions.cosineSim(col("q_emb"), col("embedding"))
           .as("sim"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     def pick(scored: DataFrame, scoreCol: String): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col(scoreCol).desc, col("vec_id"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-11 batch P: robust location estimation and graph-based
   * keyword scoring.
@@ -194,12 +195,12 @@ object Analytics36 {
       """SELECT doc_id, p.pos, p.w FROM graft_tr_docs
         |LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w""".stripMargin)
       + "\n" + textrankEdgeSelect)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_tr_edges")
     s.sql("""SELECT DISTINCT p.w FROM graft_tr_docs
             |LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w"""
         .stripMargin)
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_tr_words")
     s.sql("WITH " + textrankFitSql("graft_tr_edges", "graft_tr_words"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening, third batch: the nonparametric-statistics and
   * graph-census tail, plus two per-row array-programming operators
@@ -197,7 +198,7 @@ object Analytics4 {
       // parenthesized: unary minus binds OUTSIDE .as, so
       // -log(c).as("cost") would bury the alias inside the negation
       .select(col("src"), col("dst"), (-log(col("wt"))).as("cost"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val e2 = edges.select(col("src").as("m"), col("dst").as("dst2"),
       col("cost").as("c2"))
     var frontier = edges
@@ -241,7 +242,7 @@ object Analytics4 {
         |      WHERE c.c_nationkey <> s.s_nationkey
         |      GROUP BY 1, 2)
         |GROUP BY 1, 2""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_tri_und")
     s.sql(
       """WITH tot AS (SELECT sum(cnt) AS t, count(*) AS np FROM graft_tri_und),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-11 batch W: shape-constrained regression and spectral
   * seasonality over the daily-revenue series.
@@ -65,7 +66,7 @@ object Analytics43 {
     t(s, dir, "orders").createOrReplaceTempView("graft_iso_orders")
     s.sql(dailySql("graft_iso_orders",
         "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_iso_daily")
     s.sql("WITH dd AS (SELECT * FROM graft_iso_daily),\n" + isotonicBody)
   }
@@ -108,7 +109,7 @@ object Analytics43 {
     t(s, dir, "orders").createOrReplaceTempView("graft_pg_orders")
     s.sql(dailySql("graft_pg_orders",
         "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_pg_daily")
     s.sql("WITH dd AS (SELECT * FROM graft_pg_daily),\n" +
       "per AS (SELECT explode(sequence(2L, 30L)) AS p),\n" +

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening, fourth batch: market-basket association mining,
   * a bipartite degree census, two classical robust/parametric tests
@@ -73,7 +74,7 @@ object Analytics5 {
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_mb_baskets")
     s.sql("WITH " + mbCensus("graft_mb_baskets"))
   }
@@ -133,7 +134,7 @@ object Analytics5 {
       """SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS x,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |FROM graft_ts_orders GROUP BY 1""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val p = daily.select(col("x").as("ax"), col("y").as("ay"))
       .join(daily.select(col("x").as("bx"), col("y").as("by")),
         col("bx") > col("ax"))
@@ -141,7 +142,7 @@ object Analytics5 {
         .as("slope"))
     val med = graft.operators.ScalableNtile
       .middleTwo(p, col("slope"), "ts_slope", "n_pairs")
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val ic = daily.crossJoin(broadcast(med.select("ts_slope")))
       .select((col("y") - col("ts_slope") * col("x")).as("icpt"))
     val im = graft.operators.ScalableNtile
@@ -218,7 +219,7 @@ object Analytics5 {
   def aggAnova(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("graft_an_orders")
     s.sql(anovaGroups("graft_an_orders"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_an_g")
     s.sql("WITH " + anovaCensus("graft_an_g"))
   }

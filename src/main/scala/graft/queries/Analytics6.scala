@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening, fifth batch: a Kalman filter fold, Brown-Forsythe
   * variance homogeneity, degree assortativity, lexicon sentiment
@@ -73,7 +74,7 @@ object Analytics6 {
         |                          ORDER BY o_totalprice / 100000.0) AS rn,
         |       count(*) OVER (PARTITION BY o_orderpriority) AS n
         |FROM graft_lv_orders""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_lv_r")
     s.sql("WITH " + leveneCensus("graft_lv_r", "div"))
   }
@@ -109,7 +110,7 @@ object Analytics6 {
     t(s, dir, "lineitem")
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_as_edges")
     s.sql(assortCensus("graft_as_edges"))
   }
@@ -187,7 +188,7 @@ object Analytics6 {
         |               ORDER BY unix_micros(ts), event_id) AS gap
         |FROM graft_ia_events""".stripMargin)
       .filter(col("gap").isNotNull)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_ia_gaps")
     s.sql("WITH " + iaCensus("graft_ia_gaps", "div"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening, sixth batch: the stock-domain technical
   * indicators the reference's warehouse consumers would compute over
@@ -137,7 +138,7 @@ object Analytics7 {
       """SELECT CAST(o_orderdate AS DATE) AS d,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS y
         |FROM graft_rt_orders GROUP BY 1""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_rt_daily")
     s.sql("WITH " + runsCensus("graft_rt_daily", "div"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening, seventh batch: model-based data curation
   * (logistic quality scoring, DSIR importance weights) and two more
@@ -72,7 +73,7 @@ object Analytics8 {
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_dsir_toks")
     s.sql(dsirCensus("graft_dsir_toks"))
   }
@@ -137,7 +138,7 @@ object Analytics8 {
       """SELECT dayofweek(CAST(o_orderdate AS DATE)) - 1 AS dow,
         |       sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS y
         |FROM graft_se_orders GROUP BY CAST(o_orderdate AS DATE)""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_se_daily")
     s.sql(seasonCensus("graft_se_daily"))
   }

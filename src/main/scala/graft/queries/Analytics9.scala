@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Round-9 widening, final batch: the global clustering coefficient
   * of the nation trade graph (the triad-closure companion to
@@ -37,7 +38,7 @@ object Analytics9 {
         |      WHERE c.c_nationkey <> s.s_nationkey
         |      GROUP BY 1, 2)
         |GROUP BY 1, 2""".stripMargin)
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_cl_und")
     s.sql("WITH " + clusteringCensus("graft_cl_und"))
   }

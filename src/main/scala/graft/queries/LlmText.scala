@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** LLM-training-data text operators over `documents` (builder-brief
   * first-class surface): exact dedup, MinHash+LSH banded near-dedup,
@@ -102,7 +103,7 @@ object LlmText {
     * probes it per batch. Built by [[stageIndex]] up front. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     memo(s, s"sigs:$dir")(
-      minhashSigsFrom(rawShingles(s, dir)).localCheckpoint(eager = true))
+      minhashSigsFrom(rawShingles(s, dir)).tappedLocalCheckpoint())
 
   /** The UNMEMOIZED signature build plan, for plan-shape tests: the
     * graded query returns the staged checkpoint (a plan-free RDD
@@ -150,7 +151,7 @@ object LlmText {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     // The verify only needs shingle sets for docs in a candidate pair:
     // filter the staged corpus-wide set (distinct-then-filter ==
     // filter-then-distinct). AQE broadcasts the tiny candidate list.
@@ -163,7 +164,7 @@ object LlmText {
       // jaccard is an integer ratio — bit-identical raw; per-engine
       // round(4) flips on boundary-terminating rationals.
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
   }
 
   /** Corpus-wide DISTINCT hashed shingle set, memoized per (session,
@@ -173,7 +174,7 @@ object LlmText {
     * measures over it" shape a real curation pipeline has. */
   private def shingleSet(s: SparkSession, dir: String): DataFrame =
     memo(s, s"shingleset:$dir")(
-      hashedShingleSet(rawShingles(s, dir)).localCheckpoint(eager = true))
+      hashedShingleSet(rawShingles(s, dir)).tappedLocalCheckpoint())
 
   /** Exact shingle-Jaccard near-dup with a natural blocking key (same
     * source) instead of LSH — the deterministic baseline the MinHash
@@ -192,7 +193,7 @@ object LlmText {
     withJaccard(sh, cands)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
   }
 
   /** Attach exact shingle Jaccard to (doc_a, doc_b) candidate pairs. */
@@ -345,7 +346,7 @@ object LlmText {
       if (rawEdges.count() < 100000) rawEdges.coalesce(1) else rawEdges
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .tappedLocalCheckpoint()
     // change flag computed inside the propagation pass — a separate
     // labels⨝next comparison job per round doubled the loop's cost
     def propagate(l: DataFrame): DataFrame = {
@@ -357,7 +358,7 @@ object LlmText {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+        .tappedLocalCheckpoint()
     }
     var changed = 1L
     var iter = 0
@@ -605,7 +606,7 @@ object LlmText {
     val cands = inSigs.join(exSigs, Seq("band", "sig"))
       .select(col("in_id").as("doc_a"), col("ex_id").as("doc_b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
     val nearDropped = withJaccard(
@@ -623,7 +624,7 @@ object LlmText {
         sum(coalesce(col("near_dup"), lit(0L))).as("n_near_dup"),
         sum(when(col("exact_dup").isNull && col("near_dup").isNull, 1L)
           .otherwise(0L)).as("n_kept"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
   }
 
   /** C4-style line-level boilerplate dedup, re-expressed over fixed
@@ -916,8 +917,19 @@ object LlmText {
     * 4×w-bit hash (4 bands of w = [[simhashBandBits]] bits — by
     * pigeonhole, any pair within hamming ≤ 3 OF THE FULL 4w-bit hash
     * differs in ≤3 bands' worth of bits, so at least one band matches
-    * exactly; the guarantee holds for ANY band partition, which is why
-    * the width can track the corpus without weakening recall).
+    * exactly; the guarantee holds for ANY band partition, so BLOCKING
+    * recall relative to the hamming ≤ 3 cutoff is exactly 1 at every
+    * width). Be explicit about what the dial DOES move: the cutoff
+    * stays 3 while the hash widens from 32 to up to 60 bits, so the
+    * near-dup DEFINITION itself tightens with the corpus (3/32 ⇒
+    * ~9.4% tolerated feature disagreement at small n, 3/60 ⇒ 5% at
+    * large n) — the dup cutoff is PART of the dial, and results are
+    * comparable within a corpus size, not across sizes. That is the
+    * deliberate trade: a wider hash at fixed absolute threshold is
+    * how simhash precision is usually scaled (hamming-per-bit, not
+    * hamming, is the similarity), and scaling the threshold
+    * proportionally instead would forfeit the pigeonhole guarantee at
+    * 4 bands (threshold 5 of 60 can spread 2+1+1+1 across all four).
     * Candidates verified with bit_count(xor). Same no-all-pairs
     * discipline as the MinHash LSH; the identical dial ladder is
     * emitted into the DuckDB oracle so both engines block alike. */
@@ -1045,7 +1057,7 @@ object LlmText {
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("n_inter") / col("za.n_sh")).as("cont_a"),
         (col("n_inter") / col("zb.n_sh")).as("cont_b"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
   }
 
   /** Cross-document duplicated-substring RUNS — span-level exact dedup
@@ -1078,7 +1090,7 @@ object LlmText {
         .select(col("doc_id"), posexplode(shingles(toks(col("text"))))
           .as(Seq("pos", "sh")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
-        .localCheckpoint(eager = true))
+        .tappedLocalCheckpoint())
 
   /** Explicit build of every session-memoized shared index relation —
     * the "build the index once" step a real curation pipeline runs
@@ -1248,7 +1260,7 @@ object LlmText {
       .filter(col("n_inter") /
         (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) >= 0.5)
       .select("doc_a", "doc_b")
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val lsh = minhashNearDup(s, dir).select("doc_a", "doc_b")
     val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.plans.GraftFunctions
+import graft.core.CkptTap._
 
 /** Similarity search over the `embeddings` table using the native
   * codegen'd [[graft.plans.CosineSimilarity]] expression.
@@ -306,7 +307,7 @@ object LlmVectors {
       .groupBy("m", "cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("cc")))).as("pc"))
       .select(col("m"), col("cid"), expr("transform(pc, p -> p.cc)").as("c"))
-      .localCheckpoint(eager = true)
+      .tappedLocalCheckpoint()
     val codes = assign(codebook).select(col("vec_id"), col("m"), col("cid"))
     val qsubs = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.Tables
+import graft.core.CkptTap._
 
 /** Scale-layout operators: bucketed co-located joins, banded range
   * joins, columnar-format round-trips, and embedding quantization —
@@ -532,7 +533,7 @@ object ScaleOps {
       val plan = df.queryExecution.executedPlan.toString
       require(plan.contains("might_contain"),
         s"runtime bloom filter not injected:\n$plan")
-      df.localCheckpoint(eager = true)
+      df.tappedLocalCheckpoint()
     }
 
   /** Schema evolution on read: two generations of the same feed land

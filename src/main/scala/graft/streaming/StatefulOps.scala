@@ -355,6 +355,74 @@ object StatefulOps {
     }
   }
 
+  case class DigestEv(digest: String, event_type: String, is_seen: Boolean)
+  case class DedupCounts(event_type: String, n_dropped: Long, n_kept: Long)
+
+  /** STATE-STORE anti-dedup — the production twin of
+    * [[graft.streaming.StreamingOps.streamAntiDedup]]'s stream-static
+    * join. The join shape re-probes the ENTIRE seen-digest history
+    * every micro-batch: correct, and the right plan when the history
+    * is a replayable indexed table — but its per-batch cost is linear
+    * in history size, which on a continuous ingest grows without
+    * bound. This shape is what a 100 TB ingest actually runs: the
+    * stream is keyed BY DIGEST and the seen-set lives as one
+    * presence-marker `ValueState` per digest in the (RocksDB) state
+    * store, so each event costs O(1) state lookups regardless of how
+    * much history has accumulated, and the store itself — not a
+    * re-scanned table — carries the set across batches. PLANS.md
+    * (r14) records when each shape wins.
+    *
+    * Parity contract: in batch execution every row of a digest
+    * arrives in ONE handleInputRows call with empty initial state, so
+    * `is_dup = any history row carries this digest` — exactly the
+    * join twin's semantics, bit-for-bit (the shared oracle pins it).
+    * In a live incremental run the state store accumulates history
+    * batch over batch, and an incoming row that beats its history row
+    * into the store is kept — the honest streaming semantics
+    * (StatefulSpec drives it to quiescence in one AvailableNow batch,
+    * where both agree). */
+  class AntiDedupProcessor
+      extends StatefulProcessor[String, DigestEv, DedupCounts] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DigestEv],
+        timerValues: TimerValues): Iterator[DedupCounts] = {
+      val rs = rows.toSeq
+      val isDup = seen.exists() || rs.exists(_.is_seen)
+      if (isDup && !seen.exists()) seen.update(true)
+      rs.filterNot(_.is_seen)
+        .groupBy(_.event_type).iterator.map { case (tp, es) =>
+          DedupCounts(tp,
+            if (isDup) es.size.toLong else 0L,
+            if (isDup) 0L else es.size.toLong)
+        }
+    }
+  }
+
+  /** Batch + streaming unified, like `newHighs`: digest-keyed rows in,
+    * per-(digest, type) verdict counts out; the graded query sums them
+    * per type. */
+  def antiDedupStateful(events: Dataset[DigestEv]): Dataset[DedupCounts] = {
+    events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
+    implicit val outEnc: Encoder[DedupCounts] = Encoders.product[DedupCounts]
+    events.groupByKey(_.digest)(Encoders.STRING)
+      .transformWithState(new AntiDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  def eventsDigested(s: SparkSession, dir: String): Dataset[DigestEv] = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(
+        md5(concat_ws("|", col("user_id"), col("event_type"),
+          col("props"))).as("digest"),
+        col("event_type"),
+        (col("event_id") % 5 === 0).as("is_seen"))
+      .as[DigestEv]
+  }
+
   /** Batch + streaming unified, like `newHighs`. */
   def typeCounts(events: Dataset[EvTyped]): Dataset[TypeCount] = {
     events.sparkSession.streams.active // StateStoreCoordinator, see newHighs
@@ -423,6 +491,12 @@ object StatefulOps {
     "stream_tws_topk" -> ((s, d) => topK(eventsTyped(s, d)).toDF()),
     "stream_tws_typecounts" -> ((s, d) =>
       typeCounts(eventsWithType(s, d)).toDF()),
+    "stream_anti_dedup_state" -> ((s, d) =>
+      antiDedupStateful(eventsDigested(s, d)).toDF()
+        .groupBy("event_type")
+        .agg((sum("n_dropped") + sum("n_kept")).as("n_in"),
+          sum("n_dropped").as("n_dropped"),
+          sum("n_kept").as("n_kept"))),
     "stream_timer_sessions" -> (timerSessionsRun _),
     "stream_stateful_anomaly" -> ((s, d) => {
       // mean_before is emitted RAW: both engines produce bit-identical
@@ -484,6 +558,20 @@ object StatefulOps {
     "stream_tws_typecounts" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    // Identical answer to stream_anti_dedup's join shape — the state
+    // store changes the PLAN, never the verdicts.
+    "stream_anti_dedup_state" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             md5(concat_ws('|', user_id, event_type, props)) AS dg
+        |           FROM events),
+        |seen AS (SELECT DISTINCT dg FROM e WHERE event_id % 5 = 0)
+        |SELECT event_type, COUNT(*) AS n_in,
+        |  CAST(SUM(CASE WHEN dg IN (SELECT dg FROM seen)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN dg IN (SELECT dg FROM seen)
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM e WHERE event_id % 5 <> 0
+        |GROUP BY event_type""".stripMargin,
     "stream_timer_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
         |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -128,7 +128,12 @@ class BenchBudgetSpec extends AnyFunSuite {
   // big enough at sf1 for the ratio to be signal rather than
   // fixed-overhead noise (Sf1RatioFloor).
   // -------------------------------------------------------------------
-  private val Sf1StageCeiling = 45.0
+  // Tightened r14: the staging step measured 21.4/24.6 s in the two
+  // r13 sf1 archives (per-memo breakdown attributes the spread to the
+  // neardup memo's 9.3→12.0 s run variance, not to any code change —
+  // PLANS.md r14), so 30 s catches ~20% drift instead of the old 45 s
+  // ceiling's ~80%.
+  private val Sf1StageCeiling = 30.0
   private val RatioCeiling = 12.0
   private val Sf1RatioFloor = 3.0
 
@@ -180,8 +185,32 @@ class BenchBudgetSpec extends AnyFunSuite {
 
   test(f"no query grows more than $RatioCeiling%.0f× from sf0.1 to sf1 " +
       "(super-linear scaling tripwire)") {
-    val (path01, t01) = loadTimes()
+    // Prefer the TAG-PAIRED sf0.1 archive (bench_detail_<tag>_run1 next
+    // to bench_detail_<tag>_sf1, the pair tools/sf1_gate.sh writes): the
+    // newest-of-each fallback can pair runs from different commits when
+    // a round archives only one side, and then the ratio mis-attributes
+    // (or masks) a scaling regression.
     val (path1, t1) = loadSf1Times()
+    val explicit01 = sys.props.get("graftBenchDetail")
+      .orElse(sys.env.get("GRAFT_BENCH_DETAIL")).isDefined
+    val paired = {
+      val f = new java.io.File(path1.replace("_sf1.json", "_run1.json"))
+      if (!explicit01 && path1.endsWith("_sf1.json") && f.exists()) Some(f)
+      else None
+    }
+    val (path01, t01) = paired match {
+      case Some(f) =>
+        val prev = sys.props.put("graftBenchDetail", f.getPath)
+        try loadTimes()
+        finally prev match {
+          case Some(v) => sys.props("graftBenchDetail") = v
+          case None => sys.props.remove("graftBenchDetail"): Unit
+        }
+      case None =>
+        info(s"no tag-paired sf0.1 archive for $path1 — " +
+          "falling back to newest-of-each (cross-commit ratios possible)")
+        loadTimes()
+    }
     val base = t01.map { case (n, s) => n -> math.abs(s) }.toMap
     val over = t1.filter { case (n, s1) =>
       base.get(n).exists { s01 =>

@@ -26,11 +26,15 @@ import org.apache.spark.sql.graftbridge.PlanDf
   * at every TPC-H SF), fixed query sets, per-label/per-flag
   * aggregates of bounded cardinality, single-row scalar attachments.
   *
-  * Known blind spot: a query that eagerly MATERIALIZES its joins
+  * The r13 blind spot — a query that eagerly MATERIALIZES its joins
   * during construction (localCheckpoint memos) presents the census an
   * optimized plan whose joins are already collapsed into LogicalRDD
-  * leaves — their hints are invisible here. Those sites are audited
-  * by hand (see aggMarketBasket's part join) and kept unhinted.
+  * leaves — is closed by the CkptTap shim: every engine checkpoint
+  * records its frame's pre-truncation plan while a census sweep has
+  * the tap enabled (CkptTapCoverageSpec pins that no raw checkpoint
+  * call can bypass the shim), and those plans are censused alongside
+  * the visible ones, pooled per scale dir. The checkpointed positive
+  * control below is the red-on-offender proof.
   */
 class BroadcastCensusSpec extends SparkTestBase {
 
@@ -67,9 +71,36 @@ class BroadcastCensusSpec extends SparkTestBase {
   }
 
   /** Max hinted-side rows per signature for one query at one scale
-    * (max, not sum: the guard is per-broadcast payload size). */
+    * (max, not sum: the guard is per-broadcast payload size).
+    * Construction runs inside a CkptTap label so hinted joins inside
+    * eagerly-checkpointed sub-frames — invisible in the final plan,
+    * the r13 blind spot that hid `part`'s forced broadcast behind
+    * `agg_market_basket`'s checkpoint — land in the tap's per-dir
+    * pool, censused alongside the visible plans. */
   private def measureOne(name: String, dir: String): Map[String, Long] = {
-    val sides = hintedSides(SparkEntry.queries(name)(spark, dir))
+    val df = graft.core.CkptTap.labeled(dir) {
+      SparkEntry.queries(name)(spark, dir)
+    }
+    val sides = hintedSides(df)
+    sides.groupBy(_.sig).map { case (sig, hs) =>
+      sig -> hs.map(h => PlanDf.ofRows(spark, h.side).count()).max
+    }
+  }
+
+  /** Hinted sides of the PRE-CHECKPOINT plans the tap captured during
+    * the sweep, pooled per scale dir (memos are built by whichever
+    * query touches them first; query attribution is meaningless). */
+  private def tappedSides(tapped: Seq[graft.core.CkptTap.Tapped],
+      dir: String): Map[String, Long] = {
+    def isB(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.contains(BROADCAST))
+    val sides = tapped.filter(_.label == dir).map(_.plan).flatMap { p =>
+      p.collect {
+        case j: Join =>
+          (if (isB(j.hint.leftHint)) Seq(j.left) else Nil) ++
+            (if (isB(j.hint.rightHint)) Seq(j.right) else Nil)
+      }.flatten
+    }.map(p => Hinted(p.output.map(_.name).sorted.mkString(","), p))
     sides.groupBy(_.sig).map { case (sig, hs) =>
       sig -> hs.map(h => PlanDf.ofRows(spark, h.side).count()).max
     }
@@ -88,28 +119,47 @@ class BroadcastCensusSpec extends SparkTestBase {
   private val allow: Map[(String, String), String] = Map(
   )
 
-  test("no explicitly-hinted broadcast side grows with the corpus " +
-      "(forced-broadcast census, sf0.01 -> sf0.1)") {
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(8))
-    val t0 = System.nanoTime()
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val futures = names.map(n => n -> measure(n))
-    val perQuery = futures.map { case (n, f) =>
-      n -> Await.result(f, Duration.Inf)
-    }
-    val flagged = perQuery.flatMap { case (n, (a, b)) =>
-      b.toSeq.flatMap { case (sig, rb) =>
-        val ra = a.getOrElse(sig, 0L)
-        if (rb < RowFloor || rb <= Slack * math.max(ra, 1L)) None
-        else Some(((n, sig),
-          f"$n [$sig] hinted side $ra -> $rb rows " +
-            f"(${rb.toDouble / math.max(ra, 1L)}%.1fx)"))
-      }
+  /** Shared growth check over (signature -> hinted-side rows). */
+  private def flaggedOf(unit: String, a: Map[String, Long],
+      b: Map[String, Long]): Map[(String, String), String] =
+    b.toSeq.flatMap { case (sig, rb) =>
+      val ra = a.getOrElse(sig, 0L)
+      if (rb < RowFloor || rb <= Slack * math.max(ra, 1L)) None
+      else Some(((unit, sig),
+        f"$unit [$sig] hinted side $ra -> $rb rows " +
+          f"(${rb.toDouble / math.max(ra, 1L)}%.1fx)"))
     }.toMap
-    info(f"census swept ${names.size} queries in " +
+
+  test("no explicitly-hinted broadcast side grows with the corpus " +
+      "(forced-broadcast census incl. checkpointed plans, " +
+      "sf0.01 -> sf0.1)") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    graft.core.CkptTap.start()
+    val (flagged, perQuery, tapB, t0) =
+      try {
+        val t0 = System.nanoTime()
+        val names = SparkEntry.queries.keys.toSeq.sorted
+        val futures = names.map(n => n -> measure(n))
+        val perQuery = futures.map { case (n, f) =>
+          n -> Await.result(f, Duration.Inf)
+        }
+        val visible = perQuery.flatMap { case (n, (a, b)) =>
+          flaggedOf(n, a, b)
+        }.toMap
+        val tapped = graft.core.CkptTap.stop()
+        val tapA = tappedSides(tapped, sfA)
+        val tapB = tappedSides(tapped, sfB)
+        (visible ++ flaggedOf("<checkpointed>", tapA, tapB),
+          perQuery, tapB, t0)
+      } finally {
+        graft.core.CkptTap.stop()
+        pool.shutdown()
+      }
+    info(f"census swept ${perQuery.size} queries in " +
       f"${(System.nanoTime() - t0) / 1e9}%.0f s; " +
       s"${perQuery.count(_._2._2.nonEmpty)} with hinted broadcasts; " +
+      s"${tapB.size} checkpointed hinted signatures; " +
       s"${flagged.size} flagged")
     val unexpected = flagged.keySet -- allow.keySet
     val stale = allow.keySet -- flagged.keySet
@@ -143,5 +193,35 @@ class BroadcastCensusSpec extends SparkTestBase {
       rb >= RowFloor && rb > Slack * math.max(a.getOrElse(sig, 0L), 1L)
     }
     assert(hit, s"census missed the known-growing control: a=$a b=$b")
+  }
+
+  test("tap census flags a forced broadcast of a corpus-proportional " +
+      "relation hidden behind an eager checkpoint (positive control " +
+      "for the r13 blind spot)") {
+    import graft.core.CkptTap
+    import graft.core.CkptTap._
+    import org.apache.spark.sql.functions._
+    // The shape that was audited by hand in r13: the hinted join is
+    // materialized during construction, so the final plan the main
+    // census walks carries only a LogicalRDD leaf.
+    def m(dir: String): Map[String, Long] = {
+      CkptTap.start()
+      try {
+        val downstream = CkptTap.labeled(dir) {
+          val e = spark.read.parquet(s"$dir/events.parquet")
+          val perUser = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+          e.join(broadcast(perUser), Seq("user_id"))
+            .tappedLocalCheckpoint()
+            .groupBy("event_type").count()
+        }
+        assert(hintedSides(downstream).isEmpty,
+          "checkpoint no longer truncates the plan — control is stale")
+        tappedSides(CkptTap.stop(), dir)
+      } finally CkptTap.stop()
+    }
+    val a = m(sfA); val b = m(sfB)
+    assert(b.nonEmpty, "tap captured no checkpointed hinted broadcast")
+    assert(flaggedOf("ctl", a, b).nonEmpty,
+      s"tap census missed the checkpointed growing control: a=$a b=$b")
   }
 }

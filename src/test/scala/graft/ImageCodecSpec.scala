@@ -134,4 +134,28 @@ class ImageCodecSpec extends SparkTestBase {
     // every row hash stays within its 8 bits
     out.values.foreach { case (_, rh) => assert(rh >= 0L && rh <= 255L) }
   }
+
+  test("phashBands (codec-free blocker input) agrees with the " +
+      "phashImages codec path bit-for-bit") {
+    // mm_phash_neardup hashes straight from the blob bytes — valid
+    // only because the grayscale PNG round-trip is byte-exact. This
+    // pins the contract: every 16-bit verify band equals the value
+    // reconstructed from the codec path's per-row aHashes, for every
+    // full-height image, and at q=0 the blocking key IS that band.
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val direct = Multimodal.phashBands(media, 0).collect()
+      .map(r => (r.media_id, r.band) -> (r.averify, r.bkey)).toMap
+    val codec = Multimodal.phashImages(media).collect()
+      .groupBy(_.media_id).filter(_._2.map(_.y).max == 7L)
+    assert(direct.nonEmpty && codec.nonEmpty)
+    assert(direct.keySet.map(_._1) == codec.keySet)
+    codec.foreach { case (id, rows) =>
+      val rh = rows.sortBy(_.y).map(_.row_hash)
+      (0 until 4).foreach { j =>
+        val expected = rh(2 * j) + (rh(2 * j + 1) << 8)
+        assert(direct((id, j.toLong)) == ((expected, expected)),
+          s"media $id band $j")
+      }
+    }
+  }
 }

@@ -49,12 +49,36 @@ class SelfJoinCensusSpec extends SparkTestBase {
   private final case class Cell(mass: Long, maxRows: Long)
 
   /** All self-joins of one query at one scale, grouped by key
-    * signature: summed mass, max side rows. */
+    * signature: summed mass, max side rows. Construction runs inside
+    * a CkptTap label so eagerly-checkpointed sub-frames (memos,
+    * iteration state) land in the tap's per-dir pool — the final
+    * optimized plan walked here has them truncated to LogicalRDD
+    * leaves (the r13 blind spot, censused separately below). */
   private def measureOne(name: String, dir: String): Map[String, Cell] = {
-    val sjs = SelfJoinCensus.selfJoins(SparkEntry.queries(name)(spark, dir))
+    val df = graft.core.CkptTap.labeled(dir) {
+      SparkEntry.queries(name)(spark, dir)
+    }
+    val sjs = SelfJoinCensus.selfJoins(df)
     sjs.groupBy(signature).map { case (sig, js) =>
       val stats = js.map(SelfJoinCensus.joinStats(spark, _))
       sig -> Cell(stats.map(_.mass).sum, stats.map(_.maxRows).max)
+    }
+  }
+
+  /** Self-join census over the PRE-CHECKPOINT plans the tap captured
+    * during the sweep, pooled per scale dir (a shared memo is built
+    * once per JVM by whichever query touches it first, so per-query
+    * attribution is meaningless here). Max per signature, not sum: a
+    * non-memo checkpoint site rebuilds its frame for every consuming
+    * query in the sweep, and summing the rebuilds would overstate one
+    * join's mass by its consumer count. */
+  private def tappedCells(tapped: Seq[graft.core.CkptTap.Tapped],
+      dir: String): Map[String, Cell] = {
+    val sjs = tapped.filter(_.label == dir).map(_.plan)
+      .flatMap(SelfJoinCensus.fromPlan)
+    sjs.groupBy(signature).map { case (sig, js) =>
+      val stats = js.map(SelfJoinCensus.joinStats(spark, _))
+      sig -> Cell(stats.map(_.mass).max, stats.map(_.maxRows).max)
     }
   }
 
@@ -75,48 +99,73 @@ class SelfJoinCensusSpec extends SparkTestBase {
   private val allow: Map[(String, String), String] = Map(
     ) // empty: the r13 re-dials cleared the known offenders
 
-  test("no self-equi-join's candidate pair mass outgrows its inputs " +
-      "(fixed-block quadratic census, sf0.01 -> sf0.1)") {
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(8))
-    val t0 = System.nanoTime()
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val futures = names.map(n => n -> measure(n))
-    val perQuery = futures.map { case (n, f) =>
-      n -> Await.result(f, Duration.Inf)
-    }
-    val flagged = perQuery.flatMap { case (n, (a, b)) =>
-      // Signature fallback: a corpus-size dial can change the key's
-      // SHAPE across scales, not just its literals — llm_semdedup's
-      // sub-cell key is a constant at ≤1000 rows, so Catalyst folds it
-      // out of the join condition and the sfA plan carries only the
-      // label key. When sfB's signature is absent at sfA, compare
-      // against the query's TOTAL sfA self-join mass: an upper bound
-      // on any single join's predecessor mass, so growth is never
-      // overstated, while a join with no sfA counterpart at all still
-      // compares against Cell(0,0) and flags loudly.
-      val totalA = Cell(a.values.map(_.mass).sum,
-        a.values.map(_.maxRows).maxOption.getOrElse(0L))
-      b.toSeq.flatMap { case (sig, cb) =>
-        if (cb.mass < MassFloor) None
-        else {
-          val ca = a.getOrElse(sig, totalA)
-          val massGrowth = cb.mass.toDouble / math.max(ca.mass, 1L)
-          val rowsGrowth =
-            math.max(cb.maxRows.toDouble / math.max(ca.maxRows, 1L), 1.0)
-          if (massGrowth > Slack * rowsGrowth)
-            Some(((n, sig),
-              f"$n [$sig] mass ${ca.mass}->${cb.mass} " +
-                f"(${massGrowth}%.0fx) rows ${ca.maxRows}->${cb.maxRows} " +
-                f"(${rowsGrowth}%.1fx)"))
-          else None
-        }
+  /** Shared growth check: flags (sig, cellB) against the sfA map. The
+    * signature fallback is deliberately TIGHT (the r13 version fell
+    * back to the query's summed sfA mass, which let a new quadratic
+    * join hide behind an existing large healthy self-join): a
+    * corpus-size dial can change the key's SHAPE across scales, not
+    * just its literals — llm_semdedup's sub-cell key is a constant at
+    * ≤1000 rows, so Catalyst folds it out of the join condition and
+    * the sfA plan carries only the label key. An sfB signature absent
+    * at sfA therefore compares against the LARGEST single sfA
+    * self-join (the dial case's true predecessor is one join, so the
+    * max never understates growth by more than the dial's own step),
+    * and against Cell(0,0) — loud — when the query had no sfA
+    * self-joins at all. */
+  private def flaggedOf(unit: String, a: Map[String, Cell],
+      b: Map[String, Cell]): Map[(String, String), String] = {
+    val maxA = Cell(a.values.map(_.mass).maxOption.getOrElse(0L),
+      a.values.map(_.maxRows).maxOption.getOrElse(0L))
+    b.toSeq.flatMap { case (sig, cb) =>
+      if (cb.mass < MassFloor) None
+      else {
+        val ca = a.getOrElse(sig, maxA)
+        val massGrowth = cb.mass.toDouble / math.max(ca.mass, 1L)
+        val rowsGrowth =
+          math.max(cb.maxRows.toDouble / math.max(ca.maxRows, 1L), 1.0)
+        if (massGrowth > Slack * rowsGrowth)
+          Some(((unit, sig),
+            f"$unit [$sig] mass ${ca.mass}->${cb.mass} " +
+              f"(${massGrowth}%.0fx) rows ${ca.maxRows}->${cb.maxRows} " +
+              f"(${rowsGrowth}%.1fx)"))
+        else None
       }
     }.toMap
-    info(f"census swept ${names.size} queries in " +
+  }
+
+  test("no self-equi-join's candidate pair mass outgrows its inputs " +
+      "(fixed-block quadratic census incl. checkpointed plans, " +
+      "sf0.01 -> sf0.1)") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    graft.core.CkptTap.start()
+    val (flagged, perQuery, tapA, tapB, t0) =
+      try {
+        val t0 = System.nanoTime()
+        val names = SparkEntry.queries.keys.toSeq.sorted
+        val futures = names.map(n => n -> measure(n))
+        val perQuery = futures.map { case (n, f) =>
+          n -> Await.result(f, Duration.Inf)
+        }
+        val visible = perQuery.flatMap { case (n, (a, b)) =>
+          flaggedOf(n, a, b)
+        }.toMap
+        // The checkpoint-hidden half: everything the tap captured
+        // during the same sweep, pooled per dir.
+        val tapped = graft.core.CkptTap.stop()
+        val tapA = tappedCells(tapped, sfA)
+        val tapB = tappedCells(tapped, sfB)
+        (visible ++ flaggedOf("<checkpointed>", tapA, tapB),
+          perQuery, tapA, tapB, t0)
+      } finally {
+        graft.core.CkptTap.stop()
+        pool.shutdown()
+      }
+    info(f"census swept ${perQuery.size} queries in " +
       f"${(System.nanoTime() - t0) / 1e9}%.0f s; " +
       s"${perQuery.count(_._2._2.nonEmpty)} with self-joins; " +
-      s"${flagged.size} flagged")
+      s"${tapB.size} checkpointed signatures " +
+      s"(${tapA.size} at sfA); ${flagged.size} flagged")
     val unexpected = flagged.keySet -- allow.keySet
     val stale = allow.keySet -- flagged.keySet
     assert(unexpected.isEmpty,
@@ -126,6 +175,35 @@ class SelfJoinCensusSpec extends SparkTestBase {
         unexpected.toSeq.sorted.map(flagged).mkString("\n  "))
     assert(stale.isEmpty,
       s"allowlist entries no longer flagged — remove them: $stale")
+  }
+
+  test("tap census flags a fixed-block pairing hidden behind an eager " +
+      "checkpoint (positive control for the r13 blind spot)") {
+    import graft.core.CkptTap
+    import graft.core.CkptTap._
+    import org.apache.spark.sql.functions._
+    def cells(dir: String): Map[String, Cell] = {
+      CkptTap.start()
+      try {
+        val downstream = CkptTap.labeled(dir) {
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), pmod(hash(col("vec_id")), lit(16)).as("b"))
+          val pairs = e.as("a").join(e.as("x"),
+            col("a.b") === col("x.b") &&
+              col("a.vec_id") < col("x.vec_id"))
+            .tappedLocalCheckpoint()
+          pairs.groupBy().count()
+        }
+        // the hole being guarded: the final plan really is blind
+        assert(SelfJoinCensus.selfJoins(downstream).isEmpty,
+          "checkpoint no longer truncates the plan — control is stale")
+        tappedCells(CkptTap.stop(), dir)
+      } finally CkptTap.stop()
+    }
+    val a = cells(sfA); val b = cells(sfB)
+    assert(b.nonEmpty, "tap captured no checkpointed self-join")
+    assert(flaggedOf("ctl", a, b).nonEmpty,
+      s"tap census missed the checkpointed quadratic control: a=$a b=$b")
   }
 
   test("census flags a fixed-block pairing (positive control: the " +
@@ -159,5 +237,49 @@ class SelfJoinCensusSpec extends SparkTestBase {
       cb.mass >= MassFloor && massGrowth > Slack * rowsGrowth
     }
     assert(hit, s"census missed the known-quadratic control: a=$a b=$b")
+  }
+
+  test("census flags the r13 two-position phash dial on the " +
+      "sf0.1 -> sf1 step (positive control: the shape r14 replaced)") {
+    // The retired dial had exactly two positions — 4×16-bit aHash
+    // bands at ≤8k images, 2×32-bit beyond — and its 16-bit base step
+    // was healthy on the sf0.01→sf0.1 step (docs cluster mass sits
+    // under the floor there), which is WHY it shipped: the offense
+    // only manifests on the 10× step where this fixture's aHash
+    // clustering itself grows. Rebuilt verbatim here on that step, the
+    // census must flag it; the replacement (fine-bit ladder, +4
+    // bits/doubling) is swept by the registry-wide test above.
+    val sf1Dir = "testdata_sf1"
+    assume(new java.io.File(sf1Dir).isDirectory,
+      s"$sf1Dir absent — tools/sf1_gate.sh generates it")
+    import org.apache.spark.sql.functions._
+    def blocked(dir: String): DataFrame = {
+      val m = graft.multimodal.Multimodal.mediaFromDocuments(spark, dir)
+      val ph = graft.multimodal.Multimodal.phashBands(m, 0).toDF()
+      val nFull = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(length(col("text")) >= 256).count()
+      val bands =
+        if (nFull <= 8000)
+          ph.select(col("media_id"), col("band"), col("averify").as("bval"))
+        else ph.groupBy(col("media_id"), expr("band div 2").as("band"))
+          .agg(sum(expr(
+            "shiftleft(averify, CAST((band % 2) * 16 AS INT))")).as("bval"))
+      bands.as("a").join(bands.as("x"),
+        col("a.band") === col("x.band") &&
+          col("a.bval") === col("x.bval") &&
+          col("a.media_id") < col("x.media_id"))
+    }
+    def cells(dir: String): Map[String, Cell] = {
+      val sjs = SelfJoinCensus.selfJoins(blocked(dir))
+      assert(sjs.nonEmpty, "control self-join not detected")
+      sjs.groupBy(signature).map { case (sig, js) =>
+        val stats = js.map(SelfJoinCensus.joinStats(spark, _))
+        sig -> Cell(stats.map(_.mass).sum, stats.map(_.maxRows).max)
+      }
+    }
+    val a = cells(sfB); val b = cells(sf1Dir)
+    val hits = flaggedOf("phash-r13", a, b)
+    assert(hits.nonEmpty,
+      s"census missed the retired two-position phash dial: a=$a b=$b")
   }
 }

@@ -195,6 +195,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful anti-dedup: state-store digest set equals the " +
+      "join-shape verdicts when driven through streaming") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // One AvailableNow-style drain of the whole fixture: every row
+      // of a digest lands in one micro-batch, where the state-store
+      // semantics and the static-join semantics provably agree.
+      val streamEv = StreamingOps.eventsStream(spark, sf)
+        .select(
+          md5(concat_ws("|", col("user_id"), col("event_type"),
+            col("props"))).as("digest"),
+          col("event_type"),
+          (col("event_id") % 5 === 0).as("is_seen"))
+        .as[StatefulOps.DigestEv]
+      val q = StatefulOps.antiDedupStateful(streamEv).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_anti_state").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("graft_anti_state")
+          .groupBy("event_type")
+          .agg((sum("n_dropped") + sum("n_kept")).as("n_in"),
+            sum("n_dropped").as("n_dropped"), sum("n_kept").as("n_kept"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val want = StreamingOps.queries("stream_anti_dedup")(spark, sf)
+          .collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_in"),
+            r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept"))).toSet
+        assert(got == want && got.nonEmpty)
+        assert(got.exists(_._3 > 0)) // real duplicate deliveries exist
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session windows: append-mode emissions are a subset of batch sessions") {
     val q = StreamingOps.sessionized(StreamingOps.eventsStream(spark, sf))
       .writeStream.outputMode("append")
