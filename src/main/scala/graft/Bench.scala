@@ -140,7 +140,14 @@ object Bench {
       read: Long, write: Long, spill: Long,
       gcMs: Long, peakMb: Long, cachedMemMb: Long, cachedDiskMb: Long,
       tStart: Double, load: Double, newRdds: Set[Int])
+    // Optional comma-separated EXACT-name filter for targeted scale
+    // probes (e.g. the r14 sf10 dial-family runs): same timing/metrics
+    // machinery, a subset of queries. Absent → the full registry (the
+    // driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val allQ = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val (stageQ, restQ) = allQ.partition(_._1 == "llm_stage_index")
     // RANDOMIZED execution order (stage step still first — the memos
     // must exist before their consumers). The r10 driver run showed 30

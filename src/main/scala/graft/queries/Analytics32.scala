@@ -127,21 +127,42 @@ object Analytics32 {
     * SQL text on both engines. */
   /** The O(pairs) census CTE list + aggregate select: everything
     * downstream is a ≤k² relation. */
-  /** The (a.doc_id + b.doc_id) % 19 = 0 pair sampling rides the JOIN
-    * KEY ((band, residue) composite: b ≡ −a mod 19), not a post-join
-    * filter — the hash join then emits only the 1/19 sampled pairs
+  /** The (a.doc_id + b.doc_id) % M = 0 pair sampling rides the JOIN
+    * KEY ((band, residue) composite: b ≡ −a mod M), not a post-join
+    * filter — the hash join then emits only the 1/M sampled pairs
     * instead of evaluating the predicate on every band pair (~250M at
-    * sf0.1; measured 5.9 s → 1.9 s). Identical result set. */
-  private def btCensusCtes(documents: String, intdiv: String): String =
-    s"""d AS (SELECT doc_id, source, n_chars,
+    * sf0.1; measured 5.9 s → 1.9 s). Identical result set.
+    *
+    * M is a CORPUS LADDER, not the r13 fixed 19: a fixed thinning
+    * modulus leaves sampled-pair mass ~n²/M — the r14 checkpoint-tap
+    * census measured the fixed-19 shape at 2,495 → 240,822 (97×) on
+    * the 10× sf0.01→sf0.1 step, exactly the class the docstring's
+    * old "the modulus is the knob a 100 TB run turns up" deferred.
+    * The knob now turns itself: M = 19·2^(doublings past 512 docs),
+    * so sampled outcomes grow ~linearly with the corpus (still far
+    * more than the ≤k² fit consumes — ~15k at sf0.1) and the
+    * modulus reaches any target rate without code changes. The
+    * doubling is emitted through `shl1` because the two engines
+    * spell the shift differently (Spark `shiftleft`, DuckDB `<<`);
+    * the LADDER COUNT itself is the shared exact-integer CASE text
+    * ([[LlmVectors.ladderSql]]). */
+  private def btCensusCtes(documents: String, intdiv: String,
+      shl1: String => String): String = {
+    val m = "(SELECT mm FROM btdial)"
+    s"""btdial AS (SELECT 19 * ${shl1(
+         LlmVectors.ladderSql("nn", 512L, 40))} AS mm
+       |           FROM (SELECT COUNT(*) AS nn FROM $documents)),
+       |d AS (SELECT doc_id, source, n_chars,
        |        n_chars $intdiv 100 AS band,
-       |        doc_id % 19 AS m FROM $documents),
+       |        doc_id % $m AS m,
+       |        ($m - doc_id % $m) % $m AS neg_m FROM $documents),
        |pr AS (SELECT a.source AS si, b.source AS sj,
        |         CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END AS wi
        |       FROM d a JOIN d b ON a.band = b.band
-       |         AND b.m = (19 - a.m) % 19
+       |         AND b.m = a.neg_m
        |         AND a.source < b.source
        |       WHERE a.n_chars <> b.n_chars)""".stripMargin
+  }
 
   private val btCensusSelect: String =
     """SELECT si, sj, CAST(count(*) AS BIGINT) AS n,
@@ -190,7 +211,8 @@ object Analytics32 {
     * bit-for-bit. */
   def llmBradleyTerry(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").createOrReplaceTempView("graft_bt_docs")
-    s.sql("WITH " + btCensusCtes("graft_bt_docs", "DIV") + "\n"
+    s.sql("WITH " + btCensusCtes("graft_bt_docs", "DIV",
+        e => s"shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))") + "\n"
         + btCensusSelect)
       .coalesce(1).tappedLocalCheckpoint()
       .createOrReplaceTempView("graft_bt_m0")
@@ -262,7 +284,8 @@ object Analytics32 {
 
   val oracle: Map[String, String] = Map(
     "llm_mrl_recall" -> mrlOracleSql,
-    "llm_bradley_terry" -> ("WITH " + btCensusCtes("documents", "//")
+    "llm_bradley_terry" -> ("WITH " + btCensusCtes("documents", "//",
+        e => s"(CAST(1 AS BIGINT) << CAST($e AS INT))")
       + ",\nm0 AS (" + btCensusSelect + "),\n" + btFitSql("m0")),
     "sql_group_by_all" -> groupByAllSql.format("lineitem"))
 }

@@ -129,9 +129,33 @@ object LlmText {
         lower(lpad(hex(col("sigv")), 8, "0")).as("sig"))
   }
 
-  /** Banded-LSH near-dedup: candidates share a (band, signature) bucket;
-    * candidates are then verified with exact shingle Jaccard >= 0.5.
-    * The bucket join replaces the quadratic all-pairs scan. */
+  /** Candidate-generation hot-bucket ceiling: a (band, sig) bucket
+    * with more than this many members is SKIPPED by the LSH pair
+    * join. An r=1 band collides a pair with probability equal to its
+    * Jaccard, so bucket occupancy tracks shingle document frequency —
+    * and hot shingles (boilerplate on a real corpus; the ENTIRE
+    * bounded vocabulary of this fixture) make Σ n_b² grow like the
+    * corpus SQUARED: the r14 checkpoint-tap census measured the
+    * uncapped bucket join at 6,042 → 215,914 pair mass on the 10×
+    * sf0.01→sf0.1 step. Skipping over-full buckets is the standard
+    * LSH-at-scale discipline (the same trade as a df ceiling in
+    * C4-style dedup): capped mass is ≤ cap·rows — linear by
+    * construction — and blocking recall is untouched unless EVERY
+    * band where a true pair agrees is hot. The value 8 is measured,
+    * not guessed: at both driver fixture scales all true J ≥ 0.5
+    * pairs (25 @ sf0.01, 256 @ sf0.1) still collide in some cold
+    * band at cap 8 (capped mass 123,536 — blocking recall 1.0; cap 4
+    * drops 23 of 256), and the key-shifted sf1/sf10 fixtures
+    * preserve per-replica df so the audit holds there by
+    * construction. The identical ceiling is emitted into every
+    * DuckDB twin that rebuilds the pair table, so both engines block
+    * alike; [[minhashRecall]] grades the end-to-end recall. */
+  private[graft] val HotBucketCap = 8
+
+  /** Banded-LSH near-dedup: candidates share a (band, signature) bucket
+    * (hot buckets skipped — [[HotBucketCap]]); candidates are then
+    * verified with exact shingle Jaccard >= 0.5. The bucket join
+    * replaces the quadratic all-pairs scan. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame =
     memo(s, s"neardup:$dir")(computeMinhashNearDup(s, dir))
 
@@ -141,7 +165,11 @@ object LlmText {
     // verify are pure consumers, so this pair-table build costs only
     // its own joins once the index exists — the shape [[stageIndex]]
     // prices explicitly.
-    val sigs = minhashSigs(s, dir)
+    val allSigs = minhashSigs(s, dir)
+    val sigs = allSigs.join(
+      allSigs.groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= HotBucketCap),
+      Seq("band", "sig"), "left_semi")
     // the pair list is tiny and referenced three times below (two
     // candidate-doc projections + the intersect join) — materialize it
     // once or the whole signature pipeline re-runs per reference
@@ -867,20 +895,21 @@ object LlmText {
         sum(col("n_tokens")).as("total_tokens"))
   }
 
-  /** tf-weighted SimHash of the first `bits` md5 bits: per (doc, bit)
-    * majority vote over token occurrences, assembled with shifts. Two
-    * narrow aggregations — no per-doc state beyond `bits` counters.
-    * md5 yields 128 usable bits; the assembled value must stay in the
-    * int64 sign-safe range, so bits ≤ 60. */
-  private def simhashOf(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 60, s"simhash width $bits out of [1,60]")
+  /** Per-(doc, bit-position) tf-weighted majority votes over the first
+    * `bits` md5 bits of each token — the shared core of both simhash
+    * assemblers below. Two narrow aggregations; no per-doc state beyond
+    * `bits` counters. md5 yields 128 usable bits (32 hex nibbles), so
+    * bits ≤ 128. */
+  private def simhashVotes(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 128, s"simhash width $bits out of [1,128]")
     // fan out before the ~token_count × bits explode amplification (the
     // compact corpus file otherwise scans — and explodes — as 1 task)
     val tokenHash = docs(s, dir)
       .repartition(fanout(s))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
-    val bitVotes = tokenHash
+    tokenHash
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(bits - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
@@ -890,11 +919,40 @@ object LlmText {
         (expr("shiftright(hexval, 3 - pos % 4) % 2") * 2 - 1).as("vote"))
       .groupBy("doc_id", "pos")
       .agg(sum(col("vote")).as("votes"))
-    bitVotes
+  }
+
+  /** Single-long SimHash of the first `bits` md5 bits. The assembled
+    * value must stay in the int64 sign-safe range, so bits ≤ 60; the
+    * two-lane [[simhashLanesOf]] carries wider hashes. */
+  private def simhashOf(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits <= 60, s"single-long simhash width $bits out of [1,60]")
+    simhashVotes(s, dir, bits)
       .groupBy("doc_id")
       .agg(sum(when(col("votes") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
         .as("simhash"))
+  }
+
+  /** Two-lane SimHash: the full `bits`-bit hash split at `loBits` into
+    * (sh_lo = bits [0, loBits), sh_hi = bits [loBits, bits) re-based to
+    * position 0). With loBits chosen so both lanes stay ≤ 62 bits the
+    * pair of sign-safe longs carries up to md5's full 128 bits — the
+    * documented next step past the old single-long 60-bit cap. When
+    * bits = loBits the hi lane is identically 0 and sh_lo equals the
+    * [[simhashOf]] value bit for bit. */
+  private def simhashLanesOf(s: SparkSession, dir: String, bits: Int,
+      loBits: Int): DataFrame = {
+    require(loBits >= 1 && loBits <= 62 && bits - loBits <= 62,
+      s"simhash lanes ($bits, $loBits) exceed int64 sign-safe range")
+    simhashVotes(s, dir, bits)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("votes") > 0 && col("pos") < loBits,
+          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+          .as("sh_lo"),
+        sum(when(col("votes") > 0 && col("pos") >= loBits,
+          expr(s"shiftleft(CAST(1 AS BIGINT), pos - $loBits)"))
+          .otherwise(0L)).as("sh_hi"))
   }
 
   /** The graded 32-bit SimHash signature table. */
@@ -902,16 +960,22 @@ object LlmText {
     simhashOf(s, dir, 32)
 
   /** Near-dup band width dial: 8 bits per band at ≤512 docs (the exact
-    * pre-r13 32-bit shape), +1 per corpus doubling, capped at 15 (60
-    * hash bits — int64 sign-safe). Expected band-bucket occupancy is
+    * pre-r13 32-bit shape), +1 per corpus doubling, capped at 31 (124
+    * hash bits — md5 exhausted). Expected band-bucket occupancy is
     * n/2^w = O(1), which is what keeps the banded self-join's Σ n_b²
     * linear; the FIXED 8-bit version measured 104× candidate-mass
     * growth on the census's 10× step because 1024 total buckets make
-    * mass ~n²/256 per band. Past the 60-bit cap the next dial is more
-    * bands + a raised pigeonhole threshold (or md5's full 128 bits in
-    * two int64 lanes) — documented, not silent. */
+    * mass ~n²/256 per band. The r13 cap was 15 (60 bits — one
+    * sign-safe int64), which SATURATED at ~65k docs — one corpus
+    * doubling past sf1 — and the r14 sf10 probe is exactly where its
+    * n²/2^60-per-band mass would have gone quadratic (500k docs →
+    * ~100× mass on 10× data); the hash now rides TWO int64 lanes
+    * ([[simhashLanesOf]]) past w = 15, identical values below. The cap
+    * binds at 512·2²² ≈ 2.1G docs; past it the next dial is more bands
+    * over a second hash (and a raised pigeonhole threshold) —
+    * documented, not silent. */
   private[graft] def simhashBandBits(n: Long): Int =
-    math.min(15, 8 + LlmVectors.ladderCount(n, 512L, 7))
+    math.min(31, 8 + LlmVectors.ladderCount(n, 512L, 23))
 
   /** SimHash near-dup pairs: banded blocking over a corpus-dialed
     * 4×w-bit hash (4 bands of w = [[simhashBandBits]] bits — by
@@ -920,10 +984,10 @@ object LlmText {
     * exactly; the guarantee holds for ANY band partition, so BLOCKING
     * recall relative to the hamming ≤ 3 cutoff is exactly 1 at every
     * width). Be explicit about what the dial DOES move: the cutoff
-    * stays 3 while the hash widens from 32 to up to 60 bits, so the
+    * stays 3 while the hash widens from 32 to up to 124 bits, so the
     * near-dup DEFINITION itself tightens with the corpus (3/32 ⇒
-    * ~9.4% tolerated feature disagreement at small n, 3/60 ⇒ 5% at
-    * large n) — the dup cutoff is PART of the dial, and results are
+    * ~9.4% tolerated feature disagreement at small n, 3/124 ⇒ ~2.4%
+    * at large n) — the dup cutoff is PART of the dial, and results are
     * comparable within a corpus size, not across sizes. That is the
     * deliberate trade: a wider hash at fixed absolute threshold is
     * how simhash precision is usually scaled (hamming-per-bit, not
@@ -935,18 +999,28 @@ object LlmText {
     * emitted into the DuckDB oracle so both engines block alike. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val w = simhashBandBits(docs(s, dir).count())
-    val sh = simhashOf(s, dir, 4 * w)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    // Lane split: one long while 4w fits sign-safe (hi ≡ 0, bit-equal
+    // to the old single-long shape); two bands per lane beyond. 2w ≤ 62
+    // at the w = 31 cap, and the split lands on a band boundary so no
+    // band ever straddles lanes. The DuckDB twin carries the identical
+    // CASE arithmetic, so both engines block alike at every width.
+    val loBits = if (4 * w <= 60) 4 * w else 2 * w
+    val sh = simhashLanesOf(s, dir, 4 * w, loBits)
+    val banded = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_bits",
-        expr(s"shiftright(simhash, CAST(band * $w AS INT)) % ${1L << w}"))
+        expr(s"""CASE WHEN band * $w < $loBits
+                 THEN shiftright(sh_lo, CAST(band * $w AS INT)) % ${1L << w}
+                 ELSE shiftright(sh_hi, CAST(band * $w - $loBits AS INT)) % ${1L << w}
+                 END"""))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band")
           && col("a.band_bits") === col("b.band_bits")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo")))
+          + bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi"))))
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
@@ -1452,11 +1526,15 @@ object LlmText {
     * final-SELECT spelling for the graded pair list itself is
     * [[jaccardTail]]). */
   private val minhashPairCtes =
-    """bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
-      |msigs AS (SELECT doc_id, band,
+    s"""bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
+      |msigs0 AS (SELECT doc_id, band,
       |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
       |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
       |         FROM bands GROUP BY doc_id, band),
+      |msigs AS (SELECT doc_id, band, sig FROM
+      |           (SELECT doc_id, band, sig,
+      |              COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n
+      |            FROM msigs0) WHERE bucket_n <= $HotBucketCap),
       |mcands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |          FROM msigs a JOIN msigs b
       |            ON a.band = b.band AND a.sig = b.sig
@@ -1494,10 +1572,14 @@ object LlmText {
   private val dedupClustersSql =
     s"""WITH RECURSIVE $shingleCte,
        |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
-       |sigs AS (SELECT doc_id, band,
+       |sigs0 AS (SELECT doc_id, band,
        |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
        |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
        |         FROM bands GROUP BY doc_id, band),
+       |sigs AS (SELECT doc_id, band, sig FROM
+       |          (SELECT doc_id, band, sig,
+       |             COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n
+       |           FROM sigs0) WHERE bucket_n <= $HotBucketCap),
        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM sigs a JOIN sigs b
        |            ON a.band = b.band AND a.sig = b.sig
@@ -1601,7 +1683,7 @@ object LlmText {
           |SELECT 'dedup_clusters' AS relation,
           |       (SELECT COUNT(*) FROM clusters) AS n_rows
           |UNION ALL SELECT 'minhash_band_sigs',
-          |       (SELECT COUNT(*) FROM sigs)
+          |       (SELECT COUNT(*) FROM sigs0)
           |UNION ALL SELECT 'minhash_neardup_pairs',
           |       (SELECT COUNT(*) FROM pairs)
           |UNION ALL SELECT 'shingle_positions',
@@ -1926,10 +2008,14 @@ object LlmText {
     "llm_minhash_neardup" ->
       s"""WITH $shingleCte,
          |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
-         |sigs AS (SELECT doc_id, band,
+         |sigs0 AS (SELECT doc_id, band,
          |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
          |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
          |         FROM bands GROUP BY doc_id, band),
+         |sigs AS (SELECT doc_id, band, sig FROM
+         |          (SELECT doc_id, band, sig,
+         |             COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n
+         |           FROM sigs0) WHERE bucket_n <= $HotBucketCap),
          |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM sigs a JOIN sigs b
          |            ON a.band = b.band AND a.sig = b.sig
@@ -2065,10 +2151,14 @@ object LlmText {
          |          JOIN sizes zb ON zb.doc_id = doc_b
          |          WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
          |bands AS (SELECT doc_id, unnest(range(8)) AS band, sh FROM sh),
-         |sigs AS (SELECT doc_id, band,
+         |sigs0 AS (SELECT doc_id, band,
          |           MIN(substr(CASE WHEN band < 4 THEN md5(sh) ELSE md5(sh || '#') END,
          |                      CAST((band % 4) * 8 + 1 AS INT), 8)) AS sig
          |         FROM bands GROUP BY doc_id, band),
+         |sigs AS (SELECT doc_id, band, sig FROM
+         |          (SELECT doc_id, band, sig,
+         |             COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n
+         |           FROM sigs0) WHERE bucket_n <= $HotBucketCap),
          |lc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |       FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
          |        AND a.doc_id < b.doc_id),
@@ -2100,8 +2190,9 @@ object LlmText {
         |           ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
     "llm_simhash_neardup" ->
-      s"""WITH dial AS (SELECT LEAST(15, 8 + ${LlmVectors.ladderSql("n", 512L, 7)}) AS w
-         |              FROM (SELECT COUNT(*) AS n FROM documents)),
+      s"""WITH dial AS (SELECT w, CASE WHEN 4 * w <= 60 THEN 4 * w ELSE 2 * w END AS lo_bits
+         |              FROM (SELECT LEAST(31, 8 + ${LlmVectors.ladderSql("n", 512L, 23)}) AS w
+         |                    FROM (SELECT COUNT(*) AS n FROM documents))),
          |tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
          |             FROM documents),
          |bits AS (SELECT doc_id, unnest(range(4 * (SELECT w FROM dial))) AS pos, h
@@ -2111,17 +2202,27 @@ object LlmText {
          |        >> (3 - CAST(pos % 4 AS INT))) & 1) * 2 - 1) AS votes
          |  FROM bits GROUP BY doc_id, pos),
          |sh AS (SELECT doc_id,
-         |         CAST(SUM(CASE WHEN votes > 0
+         |         CAST(SUM(CASE WHEN votes > 0 AND pos < (SELECT lo_bits FROM dial)
          |                  THEN (CAST(1 AS BIGINT) << CAST(pos AS INT))
-         |                  ELSE 0 END) AS BIGINT) AS simhash
+         |                  ELSE 0 END) AS BIGINT) AS sh_lo,
+         |         CAST(SUM(CASE WHEN votes > 0 AND pos >= (SELECT lo_bits FROM dial)
+         |                  THEN (CAST(1 AS BIGINT)
+         |                        << CAST(pos - (SELECT lo_bits FROM dial) AS INT))
+         |                  ELSE 0 END) AS BIGINT) AS sh_hi
          |       FROM votes GROUP BY doc_id),
-         |banded AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM sh),
-         |b2 AS (SELECT doc_id, simhash, band,
-         |         (simhash >> CAST(band * (SELECT w FROM dial) AS INT))
-         |           % (CAST(1 AS BIGINT) << CAST((SELECT w FROM dial) AS INT)) AS band_bits
+         |banded AS (SELECT doc_id, sh_lo, sh_hi, unnest(range(4)) AS band FROM sh),
+         |b2 AS (SELECT doc_id, sh_lo, sh_hi, band,
+         |         CASE WHEN band * (SELECT w FROM dial) < (SELECT lo_bits FROM dial)
+         |           THEN (sh_lo >> CAST(band * (SELECT w FROM dial) AS INT))
+         |             % (CAST(1 AS BIGINT) << CAST((SELECT w FROM dial) AS INT))
+         |           ELSE (sh_hi >> CAST(band * (SELECT w FROM dial)
+         |                               - (SELECT lo_bits FROM dial) AS INT))
+         |             % (CAST(1 AS BIGINT) << CAST((SELECT w FROM dial) AS INT))
+         |         END AS band_bits
          |       FROM banded),
          |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |            CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+         |                 + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
          |          FROM b2 a JOIN b2 b
          |            ON a.band = b.band AND a.band_bits = b.band_bits
          |           AND a.doc_id < b.doc_id)

@@ -29,7 +29,7 @@ class DialLadderSpec extends SparkTestBase {
   private val ladders = Seq( // (base, steps) of every shipped dial
     (512L, 12),  // signBandBits (llm_embed_neardup)
     (1000L, 24), // cellBits (llm_semdedup)
-    (512L, 7),   // simhashBandBits
+    (512L, 23),  // simhashBandBits
     (1000L, 12), // mm_phash_neardup fine bits (÷4)
     (8000L, 46)) // headroom shape (wide step count)
 
@@ -63,22 +63,38 @@ class DialLadderSpec extends SparkTestBase {
   }
 
   test("simhash pigeonhole: hamming <= 3 over the full 4w-bit hash " +
-      "implies an exact band match at EVERY dialed width") {
+      "implies an exact band match at EVERY dialed width, through " +
+      "the two-lane widths past w=15") {
     val rnd = new scala.util.Random(1414L)
-    (8 to 15).foreach { w => // simhashBandBits range
-      val mask = if (4 * w == 64) -1L else (1L << (4 * w)) - 1
+    def maskBits(b: Int): Long =
+      if (b <= 0) 0L else if (b >= 64) -1L else (1L << b) - 1
+    (8 to 31).foreach { w => // simhashBandBits range incl. lane split
+      // the engine's lane split: one long while 4w fits sign-safe,
+      // two bands per lane beyond (simhashNearDup's loBits)
+      val loBits = if (4 * w <= 60) 4 * w else 2 * w
+      val hiBits = 4 * w - loBits
       (0 until 2000).foreach { _ =>
-        val a = rnd.nextLong() & mask
+        val alo = rnd.nextLong() & maskBits(loBits)
+        val ahi = rnd.nextLong() & maskBits(hiBits)
         // flip 0..3 random bit positions of the 4w-bit hash
-        val b = (0 until rnd.nextInt(4)).foldLeft(a) { (h, _) =>
-          h ^ (1L << rnd.nextInt(4 * w))
+        var blo = alo; var bhi = ahi
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val p = rnd.nextInt(4 * w)
+          if (p < loBits) blo ^= 1L << p
+          else bhi ^= 1L << (p - loBits)
         }
         val bandsEqual = (0 until 4).exists { j =>
-          ((a >>> (j * w)) & ((1L << w) - 1)) ==
-            ((b >>> (j * w)) & ((1L << w) - 1))
+          val g = j * w // band start; never straddles (loBits = 2w | 4w)
+          if (g < loBits)
+            ((alo >>> g) & maskBits(w)) == ((blo >>> g) & maskBits(w))
+          else
+            ((ahi >>> (g - loBits)) & maskBits(w)) ==
+              ((bhi >>> (g - loBits)) & maskBits(w))
         }
-        assert(java.lang.Long.bitCount(a ^ b) > 3 || bandsEqual,
-          s"pigeonhole broken at w=$w a=$a b=$b")
+        val ham = java.lang.Long.bitCount(alo ^ blo) +
+          java.lang.Long.bitCount(ahi ^ bhi)
+        assert(ham > 3 || bandsEqual,
+          s"pigeonhole broken at w=$w lo=$alo/$blo hi=$ahi/$bhi")
       }
     }
   }

@@ -97,7 +97,22 @@ class SelfJoinCensusSpec extends SparkTestBase {
     * must carry the bound's justification; an entry that stops being
     * flagged must be removed (the census pins exact equality). */
   private val allow: Map[(String, String), String] = Map(
-    ) // empty: the r13 re-dials cleared the known offenders
+    ("<checkpointed>", "a.sh") ->
+      ("llm_minhash_recall's ground-truth side: the audit must count " +
+        "the exact shingle intersection of EVERY pair sharing >=1 " +
+        "shingle (J>=0.5 implies a shared shingle, so this blocking " +
+        "is exhaustive by definition, and n_inter falls out of the " +
+        "same join). Its probe mass is Sum(df^2) - irreducible for " +
+        "an exact audit: a df cap <=16 keeps the mass but loses 4 of " +
+        "256 true pairs at sf0.1, and prefix filtering (AllPairs) " +
+        "still measures 60x on this step because the fixture's " +
+        "BOUNDED vocabulary pushes every shingle's df up with n - " +
+        "all measured r14. Production recall audits sample; the " +
+        "graded PIPELINE path is the capped-bucket LSH join, which " +
+        "this census holds linear. Bound: mass = Sum(df^2) <= " +
+        "max_df * shingle_rows, quadratic only while the vocabulary " +
+        "is corpus-bounded; the audit is a diagnostic run on demand, " +
+        "never a pipeline stage (llm_stage_index does not build it)."))
 
   /** Shared growth check: flags (sig, cellB) against the sfA map. The
     * signature fallback is deliberately TIGHT (the r13 version fell

@@ -70,8 +70,12 @@ def main(sfdir: str, outdir: str, only: str = None) -> int:
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    # `only` is a comma-separated any-match substring list, the same
+    # semantics as graft.Verify's third arg, so a targeted Verify dump
+    # and its oracle pass always cover the same query set.
+    only_subs = [s for s in (only.split(",") if only else []) if s]
     for name in sorted(oracle):
-        if only and only not in name:
+        if only_subs and not any(s in name for s in only_subs):
             continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
