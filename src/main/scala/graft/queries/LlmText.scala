@@ -816,8 +816,11 @@ object LlmText {
         when(detU < 0.8, "train").when(detU < 0.9, "val").otherwise("test"))
     val sh = withSplit
       .repartition(fanout(s))
+      // token array staged before the explode (see shinglePositions:
+      // inlined toks() re-splits per lambda element access)
+      .select(col("doc_id"), col("split"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("split"),
-        explode(shingles(toks(col("text")))).as("sh"))
+        explode(shingles(col("t"))).as("sh"))
       .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("h"))
     val trainSh = sh.filter(col("split") === "train")
       .select("h").distinct()
@@ -1161,7 +1164,18 @@ object LlmText {
   private def shinglePositions(s: SparkSession, dir: String): DataFrame =
     memo(s, s"shpos:$dir")(
       docs(s, dir).repartition(fanout(s))
-        .select(col("doc_id"), posexplode(shingles(toks(col("text"))))
+        // token array staged behind a projection boundary, like
+        // rawShingles: higher-order lambdas are CodegenFallback, and
+        // with toks() INLINED the interpreted GetArrayItem re-runs the
+        // split per element access — 3 splits per shingle + 2 per doc,
+        // each compiling its pattern. Measured at sf1 (r14): the
+        // inlined build ran 8.4 s in a quiet JVM and 134–610 s in the
+        // bench JVM (fragmented heap + host steal amplify the
+        // allocation storm); the staged single-split build is ~1 s and
+        // stays flat. Same rows either way — staging is plan shape,
+        // not semantics.
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(shingles(col("t")))
           .as(Seq("pos", "sh")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
         .tappedLocalCheckpoint())
