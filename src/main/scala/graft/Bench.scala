@@ -111,8 +111,37 @@ object Bench {
     f.delete(): Unit
   }
 
+  /** Host-speed canary: a fixed single-threaded CPU + allocation
+    * micro-benchmark (LCG-driven short-string churn — the allocation
+    * profile of interpreted row eval), run at JVM start and again
+    * after the suite, recorded in env. This round's forensics found
+    * the sandbox host intermittently runs allocation-heavy JVM work
+    * 10-30× slower (multi-second G1CollectForAllocation safepoints on
+    * slow first-touch pages; see PLANS.md §14) — a drifted archive
+    * number is unreadable without knowing whether the HOST was in such
+    * a window. Healthy baseline ~100-200 ms; a canary 5×+ over that
+    * marks the run's numbers as host-bound, not plan regressions. */
+  private def hostCanaryMs(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var acc = 0L
+    val keep = new Array[String](4096)
+    var i = 0
+    while (i < 400000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val s = java.lang.Long.toHexString(x) + " " +
+        java.lang.Long.toUnsignedString(x ^ acc)
+      acc += s.hashCode
+      keep(i & 4095) = s
+      i += 1
+    }
+    if (acc == 42) System.err.print("")  // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1000000
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val canaryStart = hostCanaryMs()
     val scratch = pinScratchToTmpfs()
     val spark = graft.core.GraftSession.get()
     val metrics = new Metrics
@@ -282,6 +311,8 @@ object Bench {
         s""""order":"seeded_random_after_stage",""" +
         s""""cold_rerun":$coldRerun,"cold_cutoff_s":$coldCutoffS,""" +
         s""""written_ms":${System.currentTimeMillis()},""" +
+        s""""canary_start_ms":$canaryStart,""" +
+        s""""canary_end_ms":${hostCanaryMs()},""" +
         s""""stage_memos":$stageMemos}"""
     val detail =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsAll,""" +

@@ -476,12 +476,17 @@ object Multimodal {
       .filter(length(col("text")) >= 256).count()
     val q = math.min(46, 4 * ladderCount(nFull, 1000L, 12))
     val bands = phashBands(mediaFromDocuments(s, dir), q).toDF()
+    // explicit plan aliases, not frame-level column refs: both join
+    // inputs derive from `bands`, and disambiguating via Dataset-id
+    // metadata trips the analyzer's trivially-true-predicate warning
+    // — the alias-qualified names resolve each side unambiguously
     val a = bands.select(col("media_id").as("doc_a"), col("band"),
-      col("bkey"))
+      col("bkey")).as("pa")
     val b = bands.select(col("media_id").as("doc_b"), col("band"),
-      col("bkey").as("bkb"))
-    val cand = a.join(b, a("band") === b("band") &&
-        a("bkey") === b("bkb") && a("doc_a") < b("doc_b"))
+      col("bkey").as("bkb")).as("pb")
+    val cand = a.join(b, col("pa.band") === col("pb.band") &&
+        col("pa.bkey") === col("pb.bkb") &&
+        col("pa.doc_a") < col("pb.doc_b"))
       .select("doc_a", "doc_b").distinct()
     val xa = bands.select(col("media_id").as("ja"),
       col("band").as("jband"), col("averify").as("va"))
