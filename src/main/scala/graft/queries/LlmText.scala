@@ -102,8 +102,8 @@ object LlmText {
     * exactly this relation — a real pipeline materializes it once and
     * probes it per batch. Built by [[stageIndex]] up front. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"sigs:$dir")(
-      minhashSigsFrom(rawShingles(s, dir)).tappedLocalCheckpoint())
+    memo(s, s"sigs:$dir")(stagedMaterialize(s, s"sigs:$dir")(
+      minhashSigsFrom(rawShingles(s, dir))))
 
   /** The UNMEMOIZED signature build plan, for plan-shape tests: the
     * graded query returns the staged checkpoint (a plan-free RDD
@@ -192,7 +192,7 @@ object LlmText {
       // jaccard is an integer ratio — bit-identical raw; per-engine
       // round(4) flips on boundary-terminating rationals.
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .tappedLocalCheckpoint()
+      .transform(stagedMaterialize(s, s"neardup:$dir"))
   }
 
   /** Corpus-wide DISTINCT hashed shingle set, memoized per (session,
@@ -201,8 +201,8 @@ object LlmText {
     * computed once per session — the "build the index once, run many
     * measures over it" shape a real curation pipeline has. */
   private def shingleSet(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"shingleset:$dir")(
-      hashedShingleSet(rawShingles(s, dir)).tappedLocalCheckpoint())
+    memo(s, s"shingleset:$dir")(stagedMaterialize(s, s"shingleset:$dir")(
+      hashedShingleSet(rawShingles(s, dir))))
 
   /** Exact shingle-Jaccard near-dup with a natural blocking key (same
     * source) instead of LSH — the deterministic baseline the MinHash
@@ -285,6 +285,37 @@ object LlmText {
       id
     }
 
+  /** Materialize a staged index relation (the memo bodies' tail call).
+    *
+    * Default: eager localCheckpoint — blocks live in the executor
+    * block manager, the fastest shape on a healthy host but also the
+    * suite's most host-sensitive residency (the sandbox's contention
+    * windows hit allocation-heavy JVM work hardest; PLANS.md §14).
+    * With SPARK_GRAFT_MEMO_PARQUET=1 the relation is instead written
+    * ONCE to local parquet under the JVM's scratch dir and re-read —
+    * a real cluster stages a shared index as a TABLE on storage, not
+    * as cached executor memory, so this flag is both a host-noise
+    * control (zero block-manager residency) and the 100 TB shape.
+    * Census coverage is unchanged: the default path taps the
+    * pre-truncation plan, and the censuses always run with the flag
+    * unset. */
+  private def parquetMemos: Boolean =
+    sys.props.get("graft.memo.parquet")
+      .orElse(sys.env.get("SPARK_GRAFT_MEMO_PARQUET")).contains("1")
+
+  private def stagedMaterialize(s: SparkSession, key: String)(
+      df: DataFrame): DataFrame =
+    if (!parquetMemos)
+      df.tappedLocalCheckpoint()
+    else {
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-memo-${sessionKey(s)}")
+      val path = new java.io.File(base, safe + ".parquet").getAbsolutePath
+      df.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    }
+
   private def memo(s: SparkSession, key: String)(
       compute: => DataFrame): DataFrame =
     memoCache.synchronized {
@@ -354,6 +385,13 @@ object LlmText {
       org.apache.spark.sql.graftshims.DatasetShim.checkpointedRdds(df)
         .foreach(_.unpersist(blocking = true))
     })
+    // Parquet-staged memo files (SPARK_GRAFT_MEMO_PARQUET mode), if any.
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-memo-$sid"))
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -760,11 +798,15 @@ object LlmText {
 
   /** Deterministic uniform in [0,1) from the first 4 hex digits of
     * md5(doc_id) — reproducible in the oracle, unlike rand(). */
-  private val detU: Column = {
-    def c(i: Int) =
-      expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), $i, 1)) - 1")
-    ((((c(1) * 16 + c(2)) * 16 + c(3)) * 16 + c(4)) / 65536.0)
-  }
+  // ONE md5 per row: the first 4 hex digits' value via conv — the
+  // per-digit instr spelling embedded md5(doc_id) four times, which
+  // whole-stage codegen cannot always CSE (when-guard branches), and
+  // on shingle-grain consumers (48n rows) that was measured real cost.
+  // Numerically identical: ((c1·16+c2)·16+c3)·16+c4 IS the base-16
+  // value of the first four digits.
+  private val detU: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") / 65536.0
 
   /** Weighted reservoir sampling (Efraimidis–Spirakis A-Res): key =
     * u^(1/w), top-k by key per stratum. Single pass and mergeable —
@@ -811,21 +853,27 @@ object LlmText {
     * standard bloom/semi-join decontamination shape, never a doc×doc
     * comparison. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val withSplit = docs(s, dir)
-      .withColumn("split",
-        when(detU < 0.8, "train").when(detU < 0.9, "val").otherwise("test"))
-    val sh = withSplit
-      .repartition(fanout(s))
-      // token array staged before the explode (see shinglePositions:
-      // inlined toks() re-splits per lambda element access)
-      .select(col("doc_id"), col("split"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("split"),
-        explode(shingles(col("t"))).as("sh"))
-      .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("h"))
+    // Pure consumer of the staged shingle index (r15): the split
+    // assignment is a pure function of doc_id ([[detU]]), so the
+    // train/test shingle sets are the staged DISTINCT (doc_id,
+    // shingle-hash) relation with the split projected per row — no
+    // join, and ZERO corpus text scans. The previous inline shape
+    // scanned + split + exploded the corpus once per plan branch
+    // (train and test), i.e. twice; a real pipeline decontaminates
+    // off the index, not the raw text. Same xxhash64 shingle hashes,
+    // same sets, same result.
+    val sh = shingleSet(s, dir)
+      // u staged behind a projection so the md5 runs once per shingle
+      // row even though the when-chain references it twice
+      .select(col("doc_id"), col("sh").as("h"), detU.as("u"))
+      .select(col("doc_id"), col("h"),
+        when(col("u") < 0.8, "train").when(col("u") < 0.9, "val")
+          .otherwise("test").as("split"))
     val trainSh = sh.filter(col("split") === "train")
       .select("h").distinct()
     sh.filter(col("split") === "test")
-      .select("doc_id", "h").distinct()
+      // already distinct per (doc_id, h): [[shingleSet]] is a set
+      .select("doc_id", "h")
       .join(trainSh, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
@@ -947,15 +995,28 @@ object LlmText {
       loBits: Int): DataFrame = {
     require(loBits >= 1 && loBits <= 62 && bits - loBits <= 62,
       s"simhash lanes ($bits, $loBits) exceed int64 sign-safe range")
-    simhashVotes(s, dir, bits)
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("votes") > 0 && col("pos") < loBits,
+    val votes = simhashVotes(s, dir, bits)
+    if (bits <= loBits)
+      // Single-lane widths (every graded scale: 4w ≤ 60 through sf1):
+      // all positions sit in the lo lane, so the hi lane is provably
+      // the constant 0 — emit it as a literal instead of carrying a
+      // second conditional sum (and its always-true pos guard) through
+      // the aggregate. Bit-equal to the two-sum spelling by
+      // construction; DialLadderSpec fuzzes the equality across widths.
+      votes.groupBy("doc_id")
+        .agg(sum(when(col("votes") > 0,
           expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
-          .as("sh_lo"),
-        sum(when(col("votes") > 0 && col("pos") >= loBits,
-          expr(s"shiftleft(CAST(1 AS BIGINT), pos - $loBits)"))
-          .otherwise(0L)).as("sh_hi"))
+          .as("sh_lo"))
+        .withColumn("sh_hi", lit(0L))
+    else
+      votes.groupBy("doc_id")
+        .agg(
+          sum(when(col("votes") > 0 && col("pos") < loBits,
+            expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+            .as("sh_lo"),
+          sum(when(col("votes") > 0 && col("pos") >= loBits,
+            expr(s"shiftleft(CAST(1 AS BIGINT), pos - $loBits)"))
+            .otherwise(0L)).as("sh_hi"))
   }
 
   /** The graded 32-bit SimHash signature table. */
@@ -1162,23 +1223,30 @@ object LlmText {
     * query three times — staging it once is the same build-the-index-
     * once shape as [[shingleSet]]. */
   private def shinglePositions(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"shpos:$dir")(
-      docs(s, dir).repartition(fanout(s))
-        // token array staged behind a projection boundary, like
-        // rawShingles: higher-order lambdas are CodegenFallback, and
-        // with toks() INLINED the interpreted GetArrayItem re-runs the
-        // split per element access — 3 splits per shingle + 2 per doc,
-        // each compiling its pattern. Measured at sf1 (r14): the
-        // inlined build ran 8.4 s in a quiet JVM and 134–610 s in the
-        // bench JVM (fragmented heap + host steal amplify the
-        // allocation storm); the staged single-split build is ~1 s and
-        // stays flat. Same rows either way — staging is plan shape,
-        // not semantics.
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"), posexplode(shingles(col("t")))
-          .as(Seq("pos", "sh")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
-        .tappedLocalCheckpoint())
+    memo(s, s"shpos:$dir")(stagedMaterialize(s, s"shpos:$dir")(
+      shinglePositionsBuildPlan(s, dir)))
+
+  /** The UNMEMOIZED position-stamped shingle build, exposed (like
+    * [[minhashSigsBuildPlan]]) so PlanShapeSpec can pin the staged
+    * single-split shape on the plan the memo actually executes — the
+    * graded consumers only ever see the checkpoint scan. */
+  private[graft] def shinglePositionsBuildPlan(s: SparkSession,
+      dir: String): DataFrame =
+    docs(s, dir).repartition(fanout(s))
+      // token array staged behind a projection boundary, like
+      // rawShingles: higher-order lambdas are CodegenFallback, and
+      // with toks() INLINED the interpreted GetArrayItem re-runs the
+      // split per element access — 3 splits per shingle + 2 per doc,
+      // each compiling its pattern. Measured at sf1 (r14): the
+      // inlined build ran 8.4 s in a quiet JVM and 134–610 s in the
+      // bench JVM (fragmented heap + host steal amplify the
+      // allocation storm); the staged single-split build is ~1 s and
+      // stays flat. Same rows either way — staging is plan shape,
+      // not semantics.
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(shingles(col("t")))
+        .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
 
   /** Explicit build of every session-memoized shared index relation —
     * the "build the index once" step a real curation pipeline runs
@@ -1358,6 +1426,67 @@ object LlmText {
         (col("n_hit") / col("n_truth")).as("recall"))
   }
 
+  /** Sampled MinHash-recall audit — the production-shape counterpart
+    * of [[minhashRecall]]. The exhaustive audit's ground truth is the
+    * full shared-shingle self-join (Σdf² blocking mass — definitionally
+    * super-linear on a bounded vocabulary, and the registry's one
+    * allowlisted quadratic). A production pipeline estimates the same
+    * recall from k probe documents: ground truth restricted to pairs
+    * that CONTAIN a probe is exhaustive *per probe* (a J ≥ 0.5 pair
+    * always shares a shingle, so probe-shingles × corpus meets every
+    * true partner of every probe — no df ceiling needed once k is
+    * fixed, which also keeps the estimate unbiased rather than
+    * df-truncated), and the blocking mass is ≤ k · shingles-per-doc ·
+    * corpus rows — O(k · corpus), linear by construction.
+    *
+    * Probes are the k smallest doc_ids by md5(doc_id) — a deterministic
+    * uniform draw both engines can reproduce ordinally (same spelling
+    * as [[stratifiedSplit]]'s md5-derived uniform). Micro-averaged:
+    * recall = |true probe pairs found by LSH| / |true probe pairs|
+    * (a pair of two probes legitimately counts once per probe side —
+    * it is a per-probe estimator, not a pair census). */
+  def minhashRecallSampled(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val probes = docs(s, dir)
+      .select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(k)
+    val sh = shingleSet(s, dir).select("doc_id", "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // k-bounded relations: both hints survive any corpus size by
+    // construction (probes is LIMIT k; probeSh is k docs' shingle
+    // sets), which the broadcast census verifies across scale steps.
+    val probeSh = sh.join(broadcast(probes), Seq("doc_id"), "left_semi")
+    // Exhaustive per-probe blocking off the staged shingle index: one
+    // equi-join + one aggregation, n_inter falls out of the join like
+    // the exhaustive audit's streamed shape.
+    val ti = broadcast(probeSh).as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("probe"), col("b.doc_id").as("other"))
+      .agg(count(lit(1)).as("n_inter"))
+    val truth = ti
+      .join(sizes.as("za"), col("probe") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("other") === col("zb.doc_id"))
+      .filter(col("n_inter") /
+        (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) >= 0.5)
+      .select("probe", "other")
+      .tappedLocalCheckpoint()
+    // The LSH side is the graded pipeline itself (staged pair memo);
+    // its pairs are (min, max)-oriented while probe pairs are
+    // probe-oriented, so membership normalizes with least/greatest —
+    // still two equi keys, so this plans as a hash join.
+    val lsh = minhashNearDup(s, dir).select("doc_a", "doc_b")
+    val hits = truth.join(lsh,
+      least(col("probe"), col("other")) === col("doc_a") &&
+        greatest(col("probe"), col("other")) === col("doc_b"), "left_semi")
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_probes"), col("n_truth"), col("n_hit"),
+        (col("n_hit") / col("n_truth")).as("recall"))
+  }
+
   /** Distributed inverted-index build — the retrieval-side artifact a
     * curation stack derives from the corpus (BM25/decontamination both
     * consume this shape). Two map-side-combinable aggregations: one on
@@ -1487,6 +1616,7 @@ object LlmText {
     "llm_stage_index" -> (stageIndex _),
     "llm_inverted_index" -> (invertedIndex _),
     "llm_minhash_recall" -> (minhashRecall _),
+    "llm_minhash_recall_sampled" -> (minhashRecallSampled _),
     "llm_substring_runs" -> (substringRuns _),
     "llm_substring_dedup" -> (substringDedupApply _),
     "llm_substring_exact" -> (substringExact _),
@@ -2187,6 +2317,31 @@ object LlmText {
          |hit AS (SELECT * FROM truth INTERSECT SELECT * FROM lsh)
          |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
          |       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         |       (SELECT COUNT(*) FROM hit) AS n_hit,
+         |       (SELECT COUNT(*) FROM hit) * 1.0
+         |         / (SELECT COUNT(*) FROM truth) AS recall""".stripMargin,
+    "llm_minhash_recall_sampled" ->
+      s"""WITH $shingleCte,
+         |$minhashPairCtes,
+         |probes AS (SELECT doc_id FROM documents
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |psh AS (SELECT doc_id, sh FROM sh
+         |        WHERE doc_id IN (SELECT doc_id FROM probes)),
+         |ti AS (SELECT a.doc_id AS probe, b.doc_id AS other,
+         |              COUNT(*) AS n_inter
+         |       FROM psh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT probe, other FROM ti
+         |          JOIN sizes za ON za.doc_id = probe
+         |          JOIN sizes zb ON zb.doc_id = other
+         |          WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+         |hit AS (SELECT t.probe, t.other FROM truth t
+         |        WHERE EXISTS (SELECT 1 FROM pairs p
+         |                      WHERE p.doc_a = least(t.probe, t.other)
+         |                        AND p.doc_b = greatest(t.probe, t.other)))
+         |SELECT (SELECT COUNT(*) FROM probes) AS n_probes,
+         |       (SELECT COUNT(*) FROM truth) AS n_truth,
          |       (SELECT COUNT(*) FROM hit) AS n_hit,
          |       (SELECT COUNT(*) FROM hit) * 1.0
          |         / (SELECT COUNT(*) FROM truth) AS recall""".stripMargin,

@@ -91,9 +91,31 @@ class BenchBudgetSpec extends AnyFunSuite {
     (f.getPath, times)
   }
 
+  /** Per-query host-contention flags the bench emits (r15): queries
+    * whose loadavg stamp exceeded max(2× run median, 4.0) ran inside a
+    * host window and their wall time is a machine artifact. Tripwires
+    * exclude them WITH a visible note — silently green is as bad as
+    * spuriously red. Absent in pre-r15 archives → empty set. */
+  private def hostWindows(path: String): Set[String] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(new java.io.File(path).toPath), "UTF-8")
+    val i = text.indexOf("\"host_windows\":[")
+    if (i < 0) Set.empty
+    else {
+      val block = text.substring(i + "\"host_windows\":[".length,
+        text.indexOf("]", i))
+      """"([^"]+)"""".r.findAllMatchIn(block).map(_.group(1)).toSet
+    }
+  }
+
   test(s"no graded query exceeds $PerQueryCeiling s in the selected sf0.1 bench detail") {
     val (path, times) = loadTimes()
+    val flagged = hostWindows(path)
+    if (flagged.nonEmpty)
+      info(s"excluding ${flagged.size} host-window-flagged queries: " +
+        flagged.toSeq.sorted.mkString(", "))
     val over = times.filterNot(_._1 == Stage)
+      .filterNot(t => flagged.contains(t._1))
       .filter { case (_, sec) => math.abs(sec) > PerQueryCeiling }
     assert(over.isEmpty,
       s"queries over the $PerQueryCeiling s sf0.1 budget in $path: " +
@@ -212,8 +234,15 @@ class BenchBudgetSpec extends AnyFunSuite {
         loadTimes()
     }
     val base = t01.map { case (n, s) => n -> math.abs(s) }.toMap
+    // A host window on EITHER side of the ratio poisons it: a flagged
+    // sf0.1 number deflates/inflates the denominator, a flagged sf1
+    // number the numerator. Exclude both, visibly.
+    val flagged = hostWindows(path1) ++ hostWindows(path01)
+    if (flagged.nonEmpty)
+      info(s"excluding ${flagged.size} host-window-flagged queries " +
+        s"from the ratio check: ${flagged.toSeq.sorted.mkString(", ")}")
     val over = t1.filter { case (n, s1) =>
-      base.get(n).exists { s01 =>
+      !flagged.contains(n) && base.get(n).exists { s01 =>
         math.abs(s1) >= Sf1RatioFloor && s01 > 0.0 &&
           math.abs(s1) / s01 > RatioCeiling
       }

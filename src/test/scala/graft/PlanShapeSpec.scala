@@ -101,6 +101,23 @@ class PlanShapeSpec extends SparkTestBase {
       val n = "split\\(text".r.findAllIn(p).size
       assert(n == 1, s"$q evaluates split(text) $n times; expected 1:\n$p")
     }
+    // llm_decontaminate (an r14 staging site) is since r15 a pure
+    // consumer of the staged shingle index: its graded plan must carry
+    // NO text split at all — a split reappearing means it stopped
+    // riding the index and went back to scanning the corpus per branch.
+    val pd = physical("llm_decontaminate")
+    val nd = "split\\(text".r.findAllIn(pd).size
+    assert(nd == 0,
+      s"llm_decontaminate evaluates split(text) $nd times; expected 0 " +
+        s"(staged-index consumer):\n$pd")
+    // The staged-index builds the graded queries consume as checkpoint
+    // scans (the r14 interpreted-split regression sites): the property
+    // must be pinned on the BUILD plans, like the sigs aggregate above.
+    val shpos = queries.LlmText.shinglePositionsBuildPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nShpos = "split\\(text".r.findAllIn(shpos).size
+    assert(nShpos == 1,
+      s"shingle_positions build evaluates split(text) $nShpos times; expected 1:\n$shpos")
   }
 
   test("llm_segment_dedup: boilerplate set joins back as a hash join") {

@@ -5,14 +5,19 @@
 # runs at HEAD so BenchBudgetSpec's scaling tripwires judge
 # like-for-like code. Run from the repo root after `sbt compile`:
 #
-#   bash tools/sf1_gate.sh r13        # suffix used in archive names
+#   bash tools/sf1_gate.sh r13              # suffix used in archive names
+#   bash tools/sf1_gate.sh r15 --with-sf10  # also fire the ×100 dial probe
 #
 # Outputs:
 #   tools/bench_archive/bench_detail_<tag>_run1.json   (sf0.1)
 #   tools/bench_archive/bench_detail_<tag>_sf1.json    (sf1)
 #   tools/bench_archive/oracle_sf1_<tag>.txt           (459-query gate)
+#   (--with-sf10: plus tools/sf10_dial_probe.sh's three artifacts —
+#    pass it on any round that touches a dial/ladder; the probe is the
+#    one gate that exercises every ladder's NEXT rung on real data)
 set -euo pipefail
-TAG="${1:?usage: tools/sf1_gate.sh <tag>}"
+TAG="${1:?usage: tools/sf1_gate.sh <tag> [--with-sf10]}"
+WITH_SF10="${2:-}"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 JVM=(java -Xmx100g -XX:+UseG1GC
      --add-exports=java.base/sun.nio.ch=ALL-UNNAMED -cp "$CP")
@@ -40,6 +45,11 @@ cp bench_detail.json "tools/bench_archive/bench_detail_${TAG}_run1.json"
 echo "[sf1_gate] bench at sf1..."
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=testdata_sf1 "${JVM[@]}" graft.Bench
 cp bench_detail.json "tools/bench_archive/bench_detail_${TAG}_sf1.json"
+
+if [ "$WITH_SF10" = "--with-sf10" ]; then
+  echo "[sf1_gate] firing the ×100 dial probe (next ladder rungs)..."
+  bash tools/sf10_dial_probe.sh "$TAG"
+fi
 
 echo "[sf1_gate] scaling tripwires against the fresh archives..."
 sbt -batch "testOnly graft.BenchBudgetSpec"
